@@ -1,0 +1,138 @@
+"""Connected components + invalid-object removal without dynamic shapes.
+
+The one genuinely TPU-awkward op in the reference
+(`unscreen/utils/maskprocess.py:77-152` uses cv2.findContours + per-contour
+python loops). TPU-native design:
+
+- **Labeling** is a segmented-scan label flood: initialize every foreground
+  pixel with its own id, then alternately propagate the running maximum along
+  rows and columns *within mask runs* (a segmented cummax via
+  `lax.associative_scan`, forward+backward). Each sweep propagates labels
+  across an entire run, so convergence takes O(spiral complexity) sweeps —
+  typically < 10 for natural masks — instead of O(image diameter) for naive
+  3x3 flooding. A `while_loop` exits early once labels are stable.
+
+- **Per-object statistics** (area, location-weighted saliency, consensus with
+  the segmentation mask) are dense segment-sums keyed by label
+  (`zeros(n).at[label].add(...)`), then gathered back per pixel. No contour
+  extraction, no host round-trip.
+
+Known divergence from the reference: cv2.drawContours(FILLED) fills holes
+inside an object when scoring it and cv2.contourArea measures polygon area;
+we use exact pixel membership for both. Thresholds are ratios, so behavior
+matches on real mattes (validated in tests against cv2 end-to-end).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _seg_cummax(vals: jax.Array, seg: jax.Array, axis: int,
+                reverse: bool) -> jax.Array:
+    """Segmented running max of `vals` along `axis`; segments are runs of
+    True in `seg`, and the scan resets at False cells."""
+    reset = ~seg
+
+    def combine(a, b):
+        v1, r1 = a
+        v2, r2 = b
+        v = jnp.where(r2, v2, jnp.maximum(v1, v2))
+        return v, r1 | r2
+
+    v, _ = jax.lax.associative_scan(combine, (vals, reset), axis=axis,
+                                    reverse=reverse)
+    return jnp.where(seg, v, 0)
+
+
+def _flood_sweep(lbl: jax.Array, seg: jax.Array) -> jax.Array:
+    lbl = _seg_cummax(lbl, seg, axis=1, reverse=False)
+    lbl = _seg_cummax(lbl, seg, axis=1, reverse=True)
+    lbl = _seg_cummax(lbl, seg, axis=0, reverse=False)
+    lbl = _seg_cummax(lbl, seg, axis=0, reverse=True)
+    return lbl
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def connected_components(mask: jax.Array, max_sweeps: int = 64) -> jax.Array:
+    """4-connected component labels of `mask > 0`.
+
+    Returns (H, W) int32 labels; 0 is background and each component carries
+    an arbitrary unique positive id (the max flat pixel index + 1 inside it).
+    """
+    seg = mask > 0
+    h, w = seg.shape
+    ids = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    lbl = jnp.where(seg, ids, 0)
+
+    def cond(state):
+        lbl, prev, i = state
+        return (i < max_sweeps) & jnp.any(lbl != prev)
+
+    def body(state):
+        lbl, _, i = state
+        return _flood_sweep(lbl, seg), lbl, i + 1
+
+    lbl = _flood_sweep(lbl, seg)
+    lbl, _, _ = jax.lax.while_loop(cond, body, (_flood_sweep(lbl, seg), lbl, 1))
+    return lbl
+
+
+def score_map(h: int, w: int, center=(0.5, 0.5)) -> np.ndarray:
+    """Host-side location score map (1 at `center`, falling to 0 at borders).
+
+    Replica of `unscreen/utils/maskprocess.py:155-178`: squared linear ramps
+    away from the center row/column, sqrt-ed, then inverted/normalized.
+    Built once per clip geometry on the host and constant-folded into the
+    compiled program.
+    """
+    sm = np.ones((h, w), np.float64)
+    y, x = int(h * center[0]), int(w * center[1])
+    if w - x > 0:
+        sm[:, x:w] = np.linspace(0, 1, w - x)[None, :] ** 2
+    if x > 0:
+        sm[:, 0:x] = np.linspace(1, 0, x)[None, :] ** 2
+    if h - y > 0:
+        sm[y:h] += np.linspace(0, 1, h - y)[:, None] ** 2
+    if y > 0:
+        sm[0:y] += np.linspace(1, 0, y)[:, None] ** 2
+    sm = np.sqrt(sm)
+    sm = (sm.max() - sm) / sm.max()
+    return sm.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def remove_invalid_objects(alpha: jax.Array, segmask: jax.Array,
+                           score: jax.Array,
+                           saliency_thr: float = 0.005,
+                           consensus_thr: float = 0.5,
+                           min_area: int = 100) -> jax.Array:
+    """Zero out foreground blobs that are small, off-center, or not agreed
+    by the segmentation mask.
+
+    Per component: saliency = sum(score_map) / (h*w); consensus = mean of
+    segmask/255. Keep iff (saliency > thr AND consensus > consensus_thr) OR
+    saliency > 10*thr; blobs under `min_area` px are dropped outright.
+    Equivalent of `unscreen/utils/maskprocess.py:77-152`.
+    """
+    h, w = alpha.shape
+    lbl = connected_components(alpha)
+    flat = lbl.reshape(-1)
+    n = h * w + 1
+    ones = (flat > 0).astype(jnp.float32)
+    area = jnp.zeros(n, jnp.float32).at[flat].add(ones)
+    sal = jnp.zeros(n, jnp.float32).at[flat].add(score.reshape(-1) * ones)
+    cons = jnp.zeros(n, jnp.float32).at[flat].add(
+        (segmask.reshape(-1) / 255.0) * ones)
+    saliency = sal / float(h * w)
+    consensus = cons / jnp.maximum(area, 1.0)
+    valid = (area >= min_area) & (
+        ((saliency > saliency_thr) & (consensus > consensus_thr))
+        | (saliency > saliency_thr * 10.0))
+    valid = valid.at[0].set(False)
+    keep = valid[flat].reshape(h, w)
+    return jnp.where(keep, alpha, 0.0)

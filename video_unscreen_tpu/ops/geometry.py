@@ -1,0 +1,183 @@
+"""Geometry ops: resize / pad / normalize / affine warps.
+
+TPU-native rebuild of the reference geometry layer
+(`unscreen/utils/imgprocess.py:67-192` in AnyiRao/video_unscreen): the
+pad_resize / inv_pad_resize pair, get_target_size, imnormalize, plus a
+generic affine warp used by the human-parse agent
+(`unscreen/binseg/agent_human.py:91-125`).
+
+Design notes (TPU-first):
+- Shapes are static under jit. `get_target_size` runs on the host and its
+  result becomes a static argument of the compiled program; each distinct
+  video geometry compiles once (bucketed shapes).
+- cv2.BORDER_REFLECT == numpy "symmetric" padding (edge pixel included).
+- All resizes are `jax.image.resize` (half-pixel centers, matching
+  cv2.INTER_LINEAR); nearest differs from cv2 only on exact ties.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ImageNet statistics used by the reference preprocessing
+# (unscreen/utils/imgprocess.py:135-161).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def get_target_size(h: int, w: int, target_long_side: int,
+                    division: int = 1) -> Tuple[int, int]:
+    """Host-side target-size computation (static-shape resolver).
+
+    Resize the long side to `target_long_side`, keep aspect, round the short
+    side *up* to a multiple of `division`. Mirrors
+    `unscreen/utils/imgprocess.py:164-192`.
+    """
+    if h > w:
+        th = target_long_side
+        tw = int(float(target_long_side) * w / h)
+        if tw % division != 0:
+            tw = (tw // division + 1) * division
+    else:
+        tw = target_long_side
+        th = int(float(target_long_side) * h / w)
+        if th % division != 0:
+            th = (th // division + 1) * division
+    return th, tw
+
+
+def resize(img: jax.Array, out_hw: Tuple[int, int],
+           method: str = "linear") -> jax.Array:
+    """Resize (H, W[, C]) image to `out_hw` with half-pixel sampling."""
+    out_shape = tuple(out_hw) + img.shape[2:]
+    return jax.image.resize(img, out_shape, method=method, antialias=False)
+
+
+def _fit_size(h: int, w: int, target_h: int, target_w: int):
+    """Aspect-preserving fit of (h, w) into (target_h, target_w).
+
+    Returns (new_h, new_w, pad_h, pad_w, ratio): the resized size, the
+    bottom/right padding, and the scale ratio (new/original). Matches the
+    branch structure of `unscreen/utils/imgprocess.py:83-94`.
+    """
+    if float(h) / w > float(target_h) / target_w:
+        new_h = target_h
+        ratio = float(target_h) / h
+        new_w = int(float(target_h) * w / h)
+        pad_h, pad_w = 0, target_w - new_w
+    else:
+        new_w = target_w
+        ratio = float(target_w) / w
+        new_h = int(float(target_w) * h / w)
+        pad_h, pad_w = target_h - new_h, 0
+    return new_h, new_w, pad_h, pad_w, ratio
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def pad_resize(img: jax.Array, target_hw: Tuple[int, int],
+               method: str = "linear") -> jax.Array:
+    """Aspect-preserving resize + reflect-pad bottom/right to `target_hw`.
+
+    Equivalent of `unscreen/utils/imgprocess.py:67-97` (the scale ratio is a
+    host-side constant — recompute with `_fit_size` when needed).
+    """
+    h, w = img.shape[:2]
+    target_h, target_w = target_hw
+    new_h, new_w, pad_h, pad_w, _ = _fit_size(h, w, target_h, target_w)
+    out = resize(img, (new_h, new_w), method=method)
+    pad_cfg = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (img.ndim - 2)
+    return jnp.pad(out, pad_cfg, mode="symmetric")
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def inv_pad_resize(img: jax.Array, ori_hw: Tuple[int, int],
+                   method: str = "linear") -> jax.Array:
+    """Crop the reflect padding and resize back to `ori_hw`.
+
+    Exact inverse of `pad_resize` geometry
+    (`unscreen/utils/imgprocess.py:100-132`).
+    """
+    h, w = img.shape[:2]
+    ori_h, ori_w = ori_hw
+    if float(ori_h) / ori_w > float(h) / w:
+        resized_h = h
+        resized_w = int(float(h) * ori_w / ori_h)
+    else:
+        resized_w = w
+        resized_h = int(float(w) * ori_h / ori_w)
+    img = img[:resized_h, :resized_w]
+    return resize(img, (ori_h, ori_w), method=method)
+
+
+@jax.jit
+def imnormalize(img: jax.Array,
+                mean: jax.Array | None = None,
+                std: jax.Array | None = None) -> jax.Array:
+    """BGR(0..255) -> RGB, /255, ImageNet-normalize.
+
+    Equivalent of `unscreen/utils/imgprocess.py:135-161`.
+    """
+    mean = IMAGENET_MEAN if mean is None else mean
+    std = IMAGENET_STD if std is None else std
+    rgb = img[..., ::-1] / 255.0
+    return (rgb - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+def get_affine_params(center_xy, src_size, dst_hw, inv: bool = False) -> np.ndarray:
+    """Host-side 2x3 affine matrix: scale a `src_size` box at `center_xy` to
+    fill `dst_hw` (the person-box warp used by the SCHP human parser,
+    `unscreen/binseg/agent_human.py:91-125`). Returns the matrix mapping
+    src->dst pixel coordinates (or dst->src when `inv`).
+    """
+    cx, cy = float(center_xy[0]), float(center_xy[1])
+    sw, sh = float(src_size[0]), float(src_size[1])
+    dh, dw = int(dst_hw[0]), int(dst_hw[1])
+    scale_x, scale_y = dw / sw, dh / sh
+    # src -> dst: p_dst = S (p_src - c) + d/2
+    m = np.array([[scale_x, 0.0, dw / 2.0 - scale_x * cx],
+                  [0.0, scale_y, dh / 2.0 - scale_y * cy]], np.float32)
+    if not inv:
+        return m
+    inv_m = np.array([[1.0 / scale_x, 0.0, cx - dw / (2.0 * scale_x)],
+                      [0.0, 1.0 / scale_y, cy - dh / (2.0 * scale_y)]],
+                     np.float32)
+    return inv_m
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def affine_warp(img: jax.Array, matrix: jax.Array,
+                out_hw: Tuple[int, int]) -> jax.Array:
+    """Warp (H, W[, C]) by a 2x3 affine `matrix` (src->dst convention, like
+    cv2.warpAffine): output(x_dst) = input(M^-1 x_dst), bilinear, zero fill.
+
+    The inverse mapping is computed on-device so the same compiled program
+    serves every frame of a clip.
+    """
+    a, b, tx = matrix[0, 0], matrix[0, 1], matrix[0, 2]
+    c, d, ty = matrix[1, 0], matrix[1, 1], matrix[1, 2]
+    det = a * d - b * c
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+
+    out_h, out_w = out_hw
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_x = ia * gx + ib * gy + itx
+    src_y = ic * gx + id_ * gy + ity
+
+    def warp_plane(plane):
+        return jax.scipy.ndimage.map_coordinates(
+            plane, [src_y, src_x], order=1, mode="constant", cval=0.0)
+
+    if img.ndim == 2:
+        return warp_plane(img)
+    return jnp.stack([warp_plane(img[..., i]) for i in range(img.shape[-1])],
+                     axis=-1)
