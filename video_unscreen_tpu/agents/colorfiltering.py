@@ -1,0 +1,243 @@
+"""ColorFilteringAgent — chroma-key alpha via six 1-D GMMs, fully on device.
+
+TPU-native rebuild of `unscreen/colorfiltering/agent.py` (reference fits
+sklearn GMMs on the host and evaluates pdfs in torch-CPU). Here the whole
+update — histogram color prior, six weighted-EM fits, per-pixel mixture
+pdf, adaptive threshold + morphology — is one jitted program over the
+work-resolution frame:
+
+- The color prior histogram is a 256-bin scatter-add weighted by the mask
+  (no data-dependent sampling; weights replace the reference's host-side
+  pixel subsampling, `agent.py:138-141`).
+- The six GMMs (3 HSV channels x {fg, bg}) fit in one vmapped weighted EM
+  (`ops/gmm.py`); channels with fewer components carry zero-weight padding.
+- GMM state is a pytree carried frame-to-frame (the reference's sklearn
+  warm_start, `agent.py:100-110`).
+- The refit-predict-rethreshold loop (`agent.py:323-340`) runs a static
+  `iters` count with a freeze flag standing in for the data-dependent
+  early break.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import color as colorops
+from ..ops import morphology as morph
+from ..ops.geometry import get_target_size, resize
+from ..ops.gmm import GMMParams, gmm_fit_em, gmm_init, gmm_pdf
+
+
+class CFState(NamedTuple):
+    """Device-resident agent state (a scan carry in fused pipelines)."""
+    bg: GMMParams   # (3, K_bg_max)
+    fg: GMMParams   # (3, K_fg_max)
+    trained: jax.Array  # scalar bool
+
+
+def _color_prior(h_channel: jax.Array, weight: jax.Array,
+                 winsize: int) -> jax.Array:
+    """Background mask from the H-channel histogram peak.
+
+    Equivalent of `unscreen/colorfiltering/agent.py:113-146`: histogram the
+    hue over `weight` (the coarse bg mask), take the argmax bin, and keep
+    pixels within +-winsize//2 of the peak.
+    """
+    bins = jnp.clip(h_channel.astype(jnp.int32), 0, 255).reshape(-1)
+    hist = jnp.zeros(256, jnp.float32).at[bins].add(weight.reshape(-1))
+    peak = jnp.argmax(hist).astype(jnp.float32)
+    return ((h_channel > peak - winsize // 2)
+            & (h_channel < peak + winsize // 2))
+
+
+def _fit(img_hsv, sample_mask, params: GMMParams, active, em_iters):
+    """Fit the 3-channel GMM bank on pixels weighted by `sample_mask`."""
+    x = img_hsv.reshape(-1, 3).T  # (3, N)
+    w = jnp.broadcast_to(sample_mask.reshape(1, -1), x.shape)
+    return gmm_fit_em(x, w.astype(jnp.float32), params, active, em_iters)
+
+
+def _alpha_from_gmms(img_hsv, bg_params, fg_params, bg_active, fg_active):
+    """Per-pixel fg probability — `agent.py:232-257`.
+
+    pdf per channel, product over channels, cube root, fg/(fg+bg).
+    """
+    h, w, _ = img_hsv.shape
+    x = img_hsv.reshape(-1, 3).T  # (3, N)
+    bg_prob = jnp.prod(gmm_pdf(bg_params, x), axis=0) ** (1.0 / 3.0)
+    fg_prob = jnp.prod(gmm_pdf(fg_params, x), axis=0) ** (1.0 / 3.0)
+    prob = fg_prob / (bg_prob + fg_prob + 1e-6)
+    confidence = jnp.std(prob)
+    return jnp.clip(prob * 255.0, 0.0, 255.0).reshape(h, w), confidence
+
+
+def _postprocess(alpha, mask, thr_ratio=0.8):
+    """Adaptive threshold + close/open denoise — `agent.py:259-283`."""
+    consistent = (alpha > 128) & (mask > 0)
+    cnt = jnp.maximum(consistent.sum(), 1)
+    score_thr = jnp.where(consistent, alpha, 0.0).sum() / cnt * thr_ratio
+    alpha = jnp.where(alpha < score_thr, 0.0, alpha)
+    alpha = morph.erode(morph.dilate(alpha, 3, 2), 3, 2)
+    alpha = morph.dilate(morph.erode(alpha, 3, 2), 3, 2)
+    return alpha
+
+
+class ColorFilteringAgent:
+    """Drop-in equivalent of the reference ColorFilteringAgent.
+
+    Same constructor surface as `unscreen/colorfiltering/agent.py:49-70`
+    (`use_opencv_gmm` is accepted and ignored — there is one device EM
+    implementation).
+    """
+
+    def __init__(self,
+                 input_long_side: int = 960,
+                 bg_ncomp=(3, 5, 5),
+                 fg_ncomp=(10, 10, 10),
+                 max_num_samples: int = 10000,
+                 color_prior_winsize: int = 30,
+                 use_opencv_gmm: bool = False,
+                 em_iters: int = 12):
+        assert len(bg_ncomp) == 3 and len(fg_ncomp) == 3
+        self.input_long_side = int(input_long_side)
+        self.bg_ncomp = tuple(int(n) for n in bg_ncomp)
+        self.fg_ncomp = tuple(int(n) for n in fg_ncomp)
+        self.max_num_samples = int(max_num_samples)
+        self.color_prior_winsize = int(color_prior_winsize)
+        self.em_iters = int(em_iters)
+        k_bg = max(self.bg_ncomp)
+        k_fg = max(self.fg_ncomp)
+        self._bg_active = jnp.asarray(
+            np.arange(k_bg)[None, :] < np.asarray(self.bg_ncomp)[:, None])
+        self._fg_active = jnp.asarray(
+            np.arange(k_fg)[None, :] < np.asarray(self.fg_ncomp)[:, None])
+        self.state = self.reset_gmms()
+
+    # -- state management ---------------------------------------------------
+    def reset_gmms(self) -> CFState:
+        """Fresh (untrained) GMM banks — `agent.py:81-111`."""
+        self.state = CFState(
+            bg=gmm_init(3, int(self._bg_active.shape[1]), self._bg_active),
+            fg=gmm_init(3, int(self._fg_active.shape[1]), self._fg_active),
+            trained=jnp.asarray(False),
+        )
+        return self.state
+
+    def is_trained(self) -> bool:
+        return bool(self.state.trained)
+
+    # -- device core --------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def device_forward(self, img: jax.Array, mask: jax.Array, iters: int,
+                       state: CFState) -> Tuple[jax.Array, jax.Array,
+                                                jax.Array, CFState]:
+        """One color-filtering step at work resolution.
+
+        Args:
+          img: (H, W, 3) BGR 0..255 float.
+          mask: (H, W) coarse fg mask 0..255 float.
+          iters: fit iterations (0 = predict only), static.
+        Returns:
+          (alpha (H,W), bg_color (3,) BGR, confidence, new_state).
+        """
+        fg_min = max(self.fg_ncomp) * 5
+        bg_min = max(self.bg_ncomp) * 5
+        img_hsv = colorops.bgr2hsv(img)
+
+        def predict(state):
+            return _alpha_from_gmms(img_hsv, state.bg, state.fg,
+                                    self._bg_active, self._fg_active)
+
+        def one_iter(carry, _):
+            state, mask_c, alpha_c, conf_c, live = carry
+            bg_coarse = (mask_c < 128).astype(jnp.float32)
+            fg_coarse = (mask_c > 128).astype(jnp.float32)
+            bg_prior = _color_prior(img_hsv[..., 0], bg_coarse,
+                                    self.color_prior_winsize)
+            fg_prior = _color_prior(img_hsv[..., 0], bg_coarse,
+                                    self.color_prior_winsize // 5)
+            bg_w = bg_coarse * bg_prior
+            # exclude prior-colored pixels from fg samples when enough remain
+            fg_w_strict = fg_coarse * (1.0 - fg_prior)
+            fg_w = jnp.where(fg_w_strict.sum() > fg_min, fg_w_strict,
+                             fg_coarse)
+            new_bg = _fit(img_hsv, bg_w, state.bg, self._bg_active,
+                          self.em_iters)
+            new_fg = _fit(img_hsv, fg_w, state.fg, self._fg_active,
+                          self.em_iters)
+            new_state = CFState(new_bg, new_fg, jnp.asarray(True))
+            alpha, conf = _alpha_from_gmms(img_hsv, new_bg, new_fg,
+                                           self._bg_active, self._fg_active)
+            alpha = _postprocess(alpha, mask_c)
+            new_mask = (alpha > 128).astype(jnp.float32) * 255.0
+            # early stop: freeze once fg or bg runs dry (agent.py:338-340)
+            still_live = ((new_mask > 128).sum() >= fg_min) & \
+                         ((new_mask < 128).sum() >= bg_min)
+
+            def take_new(_):
+                return (new_state, new_mask, alpha, conf, live & still_live)
+
+            def keep_old(_):
+                return (state, mask_c, alpha_c, conf_c, live)
+
+            return jax.lax.cond(live, take_new, keep_old, None), None
+
+        if iters == 0:
+            alpha, conf = predict(state)
+            alpha = _postprocess(alpha, mask)
+            out_state = state
+        else:
+            init = (state, mask, jnp.zeros_like(mask), jnp.asarray(1.0),
+                    jnp.asarray(True))
+            (out_state, _, alpha, conf, _), _ = jax.lax.scan(
+                one_iter, init, None, length=iters)
+
+        # pure-color background from the dominant bg component per channel
+        # (reference reads means_[0, 0], `agent.py:350-351`; with padded
+        # component banks "dominant" is the faithful analog)
+        kidx = jnp.argmax(out_state.bg.weights, axis=1)
+        bg_hsv = jnp.take_along_axis(out_state.bg.means, kidx[:, None],
+                                     axis=1)[:, 0]
+        bg_color = colorops.hsv2bgr(bg_hsv[None, None, :])[0, 0]
+
+        # degenerate-input guards (`agent.py:302-307`): no fg -> passthrough
+        # mask & no filtering; no bg -> mask with black bg color.
+        fg_cnt = (mask > 128).sum()
+        bg_cnt = (mask < 128).sum()
+        degenerate = (fg_cnt < fg_min) | (bg_cnt < bg_min)
+        alpha = jnp.where(degenerate, mask, alpha)
+        conf = jnp.where(degenerate, 1.0, conf)
+        bg_color = jnp.where(fg_cnt < fg_min, jnp.zeros(3), bg_color)
+        out_state = jax.tree.map(
+            lambda new, old: jnp.where(degenerate, old, new), out_state,
+            state)
+        return alpha, bg_color, conf, out_state
+
+    # -- host API (reference-compatible) ------------------------------------
+    def forward(self, img: np.ndarray, mask: np.ndarray, iters: int = 1):
+        """numpy-in/numpy-out parity API — `agent.py:285-354`.
+
+        Returns (alpha uint8 (H,W), bg_img uint8 (H,W,3), confidence).
+        """
+        # host-side degenerate early-outs, exactly `agent.py:302-307`
+        if (np.asarray(mask) > 128).sum() < max(self.fg_ncomp) * 5:
+            return np.asarray(mask, np.uint8), np.asarray(img, np.uint8), 1.0
+        if (np.asarray(mask) < 128).sum() < max(self.bg_ncomp) * 5:
+            return (np.asarray(mask, np.uint8),
+                    np.zeros_like(np.asarray(img, np.uint8)), 1.0)
+        ori_h, ori_w = img.shape[:2]
+        th, tw = get_target_size(ori_h, ori_w, self.input_long_side)
+        img_d = resize(jnp.asarray(img, jnp.float32), (th, tw))
+        mask_d = resize(jnp.asarray(mask, jnp.float32), (th, tw))
+        alpha, bg_color, conf, self.state = self.device_forward(
+            img_d, mask_d, int(iters), self.state)
+        alpha_full = resize(alpha, (ori_h, ori_w))
+        bg_img = jnp.broadcast_to(bg_color, (ori_h, ori_w, 3))
+        return (np.asarray(alpha_full).clip(0, 255).astype(np.uint8),
+                np.asarray(bg_img).clip(0, 255).astype(np.uint8),
+                float(conf))
