@@ -1,0 +1,20 @@
+"""green mode CLI — same argparse surface as the reference
+`tools/unscreen/green.py:143-161` plus a `--data_root` override."""
+import argparse
+
+from video_unscreen_tpu.config import attach_data_section, load_config
+from video_unscreen_tpu.pipeline import run_green
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, default="./configs/green.json")
+    parser.add_argument("-vid", "--video_id", type=str, default="1")
+    parser.add_argument("--range", type=str, default=None, help="eg. 400-700")
+    parser.add_argument("--data_root", type=str, default=None)
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg)
+    cfg = attach_data_section(cfg, args.video_id, "green",
+                              data_root=args.data_root,
+                              frame_range=args.range, src_tmpl="*.*")
+    run_green(cfg)

@@ -1,0 +1,83 @@
+"""VMattingAgent — temporal alpha matting with the MattingUNet.
+
+TPU-native rebuild of `unscreen/vmatting/agent.py`: pad/resize with
+division 32, trimap one-hot {0,128,255} -> 3 channels, model forward,
+inverse geometry, and the hard trimap reset (the prediction is kept only
+in the unknown band — `vmatting/agent.py:128-131`). The whole step is one
+jitted program; `device_forward` also serves the fused per-frame pipeline
+with device-resident tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import MattingUNet
+from ..models.matting_unet import spectral_normalize_tree
+from ..ops.geometry import (get_target_size, imnormalize, inv_pad_resize,
+                            pad_resize)
+from ..utils.checkpoint import load_variables
+
+
+class VMattingAgent:
+    """Same surface as `unscreen/vmatting/agent.py:9-163`."""
+
+    DIVISION = 32
+
+    def __init__(self, model_path: Optional[str] = None,
+                 input_long_side: int = 960, cuda_device: int = 0,
+                 dtype=jnp.float32, seed: int = 0,
+                 fold_spectral_norm: bool = True):
+        if input_long_side % self.DIVISION != 0:
+            input_long_side = (input_long_side // self.DIVISION + 1
+                               ) * self.DIVISION
+        self.input_long_side = int(input_long_side)
+        self.model = MattingUNet(dtype=dtype)
+        z = jnp.zeros((1, 64, 64, 3), dtype)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), z, z[..., :1], z)
+        if model_path:
+            self.variables = load_variables(model_path, self.variables)
+        if fold_spectral_norm:
+            # inference-time fold of the reference's SpectralNorm wrappers
+            self.variables = dict(self.variables)
+            self.variables["params"] = spectral_normalize_tree(
+                self.variables["params"])
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def device_forward(self, variables, img: jax.Array, alpha_pre: jax.Array,
+                       trimap: jax.Array,
+                       input_hw: Tuple[int, int]) -> jax.Array:
+        """(H,W,3) BGR + (H,W) alpha_pre + (H,W) trimap -> (H,W) alpha 0..255."""
+        ori_hw = trimap.shape
+        img_p = pad_resize(img, input_hw)
+        tri_p = pad_resize(trimap, input_hw)
+        ap_p = pad_resize(alpha_pre, input_hw) / 255.0
+        norm = imnormalize(img_p)
+        # one-hot trimap: 0 -> bg, (0,255) -> unknown, 255 -> fg
+        # (`vmatting/agent.py:68-72`)
+        cls = jnp.where(tri_p >= 255.0, 2,
+                        jnp.where(tri_p > 0.0, 1, 0))
+        tri_oh = jax.nn.one_hot(cls, 3, dtype=norm.dtype)
+        pred = self.model.apply(variables, norm[None], ap_p[None, ..., None],
+                                tri_oh[None])[0, ..., 0]
+        pred = inv_pad_resize(pred, ori_hw)
+        # keep prediction only in the unknown band (`agent.py:128-131`)
+        pred = jnp.where(trimap == 0.0, 0.0, pred)
+        pred = jnp.where(trimap == 255.0, 1.0, pred)
+        return pred * 255.0
+
+    def forward(self, img: np.ndarray, alpha_pre: np.ndarray,
+                trimap: np.ndarray) -> np.ndarray:
+        h, w = trimap.shape
+        input_hw = get_target_size(h, w, self.input_long_side, self.DIVISION)
+        out = self.device_forward(self.variables,
+                                  jnp.asarray(img, jnp.float32),
+                                  jnp.asarray(alpha_pre, jnp.float32),
+                                  jnp.asarray(trimap, jnp.float32), input_hw)
+        return np.asarray(out).clip(0, 255).astype(np.uint8)

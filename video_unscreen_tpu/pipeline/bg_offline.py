@@ -1,0 +1,190 @@
+"""bg_step mode — offline global-background unscreen (3 restartable stages).
+
+TPU-native rebuild of `tools/unscreen/bg_offline.py`. The reference gates
+stages with literal `if 0/if 0/if 1` edits and resumes by re-reading its
+own artifacts (`bg_offline.py:51,99,133,101-103,134-139`); here the stages
+are explicit (`stages` argument) with the same artifact-store resume
+semantics — the formalization SURVEY.md §5 calls for:
+
+  stage 1: per-frame seg (STM tracking) + matting + per-frame regionfill bg
+  stage 2: temporal-average global background + membrane inpaint of the
+           always-foreground region
+  stage 3: fuse per-frame bg with the global bg (fusion_weight), bg-diff
+           mask, second trimap+matting pass, foreground, video mux.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from glob import glob
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents import STMAgent, TrimapAgent, VMattingAgent
+from ..agents.binseg import build_seg_agent
+from ..ops import color as colorops
+from ..ops import morphology as morph
+from ..ops.compositing import get_fg
+from ..ops.regionfill import regionfill
+from ..utils.fileio import parallel_read_img, save_img, save_video
+from .bg import _per_frame_background
+from .common import (artifact_path, exist_foreground_np, read_frames,
+                     remove_invalid_objects_cfg)
+
+
+def _load_artifacts(dst_dir: str, kind: str):
+    paths = sorted(glob(osp.join(dst_dir, f"{kind}_*.jpg")))
+    return parallel_read_img(paths)
+
+
+def _stage1(cfg, frame_list, dst_dir, save):
+    """Per-frame seg + matting + bg (`bg_offline.py:51-97`)."""
+    seg_cfg = dict(cfg["binseg"])
+    seg_cfg.setdefault("type", "human")
+    segagent = build_seg_agent(seg_cfg)
+    stmagent = STMAgent(**cfg["stm"])
+    trimapagent = TrimapAgent(**cfg["trimap"])
+    vmatagent = VMattingAgent(**cfg["vmatting"])
+
+    h, w, _ = frame_list[0].shape
+    tracking_flag = False
+    alpha_pre = np.zeros((h, w), np.uint8)
+    mask_list, bg_list = [], []
+    for fid, frame in enumerate(frame_list):
+        if tracking_flag and fid > 0:
+            segmask = alpha_pre.copy()
+            segmask[segmask >= 128] = 255
+            segmask = stmagent.forward(frame_list[fid - 1:fid + 1],
+                                       segmask)[-1]
+        else:
+            segmask = segagent.forward(frame)
+        mask_list.append(np.stack([segmask] * 3, axis=2))
+        if save:
+            save_img(artifact_path(dst_dir, "segmask", fid), segmask)
+
+        if not exist_foreground_np(segmask, cfg["fg_exist_thr"]):
+            alpha = np.zeros_like(segmask)
+            bg_list.append(frame)
+        else:
+            alphaor = remove_invalid_objects_cfg(cfg, segmask)
+            trimap = trimapagent.forward(alphaor)
+            alpha = vmatagent.forward(frame, alpha_pre, trimap)
+            bgimg = _per_frame_background(frame, alpha)
+            bg_list.append(bgimg)
+            if save:
+                save_img(artifact_path(dst_dir, "bg", fid), bgimg)
+        alpha_pre = alpha.copy()
+        tracking_flag = exist_foreground_np(alpha, cfg["fg_exist_thr"])
+    return mask_list, bg_list
+
+
+def _stage2(cfg, frame_list, mask_list, bg_always_path, save):
+    """Temporal-average global background (`bg_offline.py:99-130`).
+
+    The reference Telea-inpaints the always-foreground hole; we use the
+    same Laplacian membrane solver as the rest of the framework.
+    """
+    h, w, _ = frame_list[0].shape
+    acc = np.zeros((h, w, 3), np.float64)
+    cnt = np.zeros((h, w, 3), np.float64)
+    for frame, src_mask in zip(frame_list, mask_list):
+        src_mask = cv2.resize(src_mask, (w, h))
+        src_mask = np.asarray(morph.dilate(
+            jnp.asarray(src_mask, jnp.float32), 3, 2))
+        acc += frame * (1.0 - src_mask.astype(np.uint8) // 255)  # bg pixels
+        cnt += (src_mask < 250).astype(np.float64)
+    mask_always = ((cnt <= 10) * 255).astype(np.uint8)
+    cnt_safe = cnt.copy()
+    cnt_safe[cnt == 0] = 1
+    bg_always = np.clip(acc / cnt_safe, 0, 255).astype(np.uint8)
+    bg_always[mask_always == 255] = 0
+
+    hole = cv2.cvtColor(mask_always, cv2.COLOR_BGR2GRAY)
+    hole = np.asarray(morph.dilate(jnp.asarray(hole, jnp.float32), 3, 2))
+    filled = [regionfill(jnp.asarray(bg_always[..., c], jnp.float32),
+                         jnp.asarray(hole)) for c in range(3)]
+    bg_img = np.clip(np.stack([np.asarray(f) for f in filled], -1),
+                     0, 255).astype(np.uint8)
+    if save:
+        save_img(bg_always_path, bg_img)
+    return bg_img
+
+
+def _stage3(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir, save):
+    """Fusion + second matting pass + fg (`bg_offline.py:133-177`)."""
+    trimapagent = TrimapAgent(**cfg["trimap"])
+    vmatagent = VMattingAgent(**cfg["vmatting"])
+    beta = cfg["bg_mask"]["fusion_weight"]
+    alpha_pre = None
+    alphas = []
+    for fid, frame in enumerate(frame_list):
+        alpha3 = mask_list[fid]
+        bgimg = bg_list[fid]
+        bgimg = (bgimg.astype(np.float32) * beta
+                 + (1 - beta) * bg_always.astype(np.float32)).astype(np.uint8)
+        alpha = cv2.cvtColor(alpha3, cv2.COLOR_BGR2GRAY)
+
+        diff = np.abs(frame.astype(np.float32) - bgimg.astype(np.float32))
+        alphabg = np.asarray(colorops.bgr2gray(jnp.asarray(diff)))
+        alphabg = np.where(alphabg > cfg["bg_mask"]["thr"], 255.0, alphabg)
+        alphabg = np.asarray(morph.dilate(
+            jnp.asarray(alphabg.clip(0, 255), jnp.float32), 4, 2))
+
+        alpha = (alpha.astype(np.float32)
+                 * (alphabg.astype(np.uint8) // 255)).astype(np.uint8)
+        if alpha_pre is None:
+            alpha_pre = alpha
+        alphaor = remove_invalid_objects_cfg(cfg, alpha)
+        trimap = trimapagent.forward(alphaor)
+        alpha = vmatagent.forward(frame, alpha_pre, trimap)
+        alphas.append(alpha)
+        if save:
+            save_img(artifact_path(dst_dir, "alphamask", fid), alpha)
+
+        bgimg = bgimg.copy()
+        bgimg[alpha == 0] = frame[alpha == 0]
+        fg = np.asarray(get_fg(
+            jnp.asarray(frame, jnp.float32), jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(bgimg, jnp.float32))).clip(0, 255).astype(np.uint8)
+        if save:
+            save_img(artifact_path(dst_dir, "fg", fid), fg)
+        alpha_pre = alpha.copy()
+    return alphas
+
+
+def run(cfg: dict, frames=None, save: bool = True,
+        stages=(1, 2, 3)) -> dict:
+    data = cfg["data"]
+    dst_dir = data["dst_img_dir"]
+    if save:
+        os.makedirs(dst_dir, exist_ok=True)
+    bg_always_path = osp.join(dst_dir, "always_bg.jpg")
+
+    frame_list = frames if frames is not None else read_frames(cfg)
+    mask_list, bg_list, bg_always, alphas = [], [], None, []
+
+    if 1 in stages:
+        mask_list, bg_list = _stage1(cfg, frame_list, dst_dir, save)
+    if 2 in stages:
+        if not mask_list:  # artifact-store resume (`bg_offline.py:101-103`)
+            mask_list = _load_artifacts(dst_dir, "segmask")
+        bg_always = _stage2(cfg, frame_list, mask_list, bg_always_path, save)
+    if 3 in stages:
+        if not mask_list:
+            mask_list = _load_artifacts(dst_dir, "segmask")
+        if not bg_list:
+            bg_list = _load_artifacts(dst_dir, "bg")
+        if bg_always is None:
+            bg_always = cv2.imread(bg_always_path)
+        alphas = _stage3(cfg, frame_list, mask_list, bg_list, bg_always,
+                         dst_dir, save)
+        if save:
+            try:
+                save_video(dst_dir, osp.join(data["dst_vid_dir"],
+                                             f"{data['video_id']}_fg.mp4"))
+            except Exception as e:  # video mux is best-effort
+                print(f"save_video skipped: {e}")
+    return {"alphas": alphas, "numframes": len(frame_list)}
