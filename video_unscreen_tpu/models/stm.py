@@ -167,5 +167,8 @@ class STM(nn.Module):
         return encoder(frame, train, stem_extra=stem_extra)
 
     def __call__(self, frame, mem_k, mem_v, valid, train: bool = False):
-        """Default call = segment (the richer path, used for init)."""
+        """Init/inspection path: touches BOTH memorize and segment so a
+        single `init` creates every parameter (memory encoder included)."""
+        zero_mask = jnp.zeros(frame.shape[:3], frame.dtype)
+        self.memorize(frame, zero_mask, zero_mask, train)
         return self.segment(frame, mem_k, mem_v, valid, train)
