@@ -1,0 +1,90 @@
+"""Headline benchmark: green-mode unscreen throughput at 1080p, one chip.
+
+Runs the fused green pipeline (chroma seed -> GMM color filter -> object
+removal -> trimap -> matting UNet -> color correct -> fg un-blend, all in
+one compiled per-frame program at 960 work resolution) over a synthetic
+1080p green-screen clip, and prints ONE JSON line:
+
+  {"metric": "green_1080p_fps_per_chip", "value": <fps>,
+   "unit": "frames/sec", "vs_baseline": <fps / CPU reference fps>}
+
+Baseline: the reference (AnyiRao/video_unscreen) publishes no numbers and
+cannot run here (no pretrained .pth weights ship with it), so the recorded
+baseline is this same pipeline executed on the host CPU — measured once
+and recorded in BASELINE.md (CPU_BASELINE_FPS below). The BASELINE.json
+target is >=10x the CPU-reference fps.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+# Measured on this host (JAX CPU backend, fused green pipeline, 1080p,
+# chunk=4, 16 frames) — see BASELINE.md.
+CPU_BASELINE_FPS = 0.5
+
+
+def make_clip(n, h=1080, w=1920, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.zeros((h, w, 3), np.uint8)
+    base[...] = (40, 190, 50)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(n):
+        img = base.copy().astype(np.float32)
+        cx = w // 3 + 6 * t
+        blob = ((yy - h // 2) ** 2 / (260.0 ** 2)
+                + (xx - cx) ** 2 / (170.0 ** 2)) < 1.0
+        img[blob] = (150, 60, 170)
+        img += rng.randn(h, w, 3).astype(np.float32) * 4
+        frames.append(img.clip(0, 255).astype(np.uint8))
+    return frames
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--chunk", type=int, default=4)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--work_long_side", type=int, default=960)
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on host CPU (baseline measurement)")
+    args = parser.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from video_unscreen_tpu.config import load_config
+    from video_unscreen_tpu.pipeline.fused_green import FusedGreenPipeline
+
+    cfg = load_config("configs/green.json")
+    frames = make_clip(args.frames, args.height, args.width)
+    pipe = FusedGreenPipeline(cfg, (args.height, args.width),
+                              work_long_side=args.work_long_side)
+
+    # warmup: compile with one chunk
+    pipe.run(frames[:args.chunk], chunk_size=args.chunk)
+
+    start = time.time()
+    alphas, fgs, bgs = pipe.run(frames, chunk_size=args.chunk)
+    elapsed = time.time() - start
+    assert alphas.shape[0] == len(frames)
+
+    fps = len(frames) / elapsed
+    print(json.dumps({
+        "metric": "green_1080p_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Fused green pipeline: one compiled scan over frames, quality-checked
+against GT like the modular driver."""
+import numpy as np
+import jax.numpy as jnp
+
+from video_unscreen_tpu.ops import metrics as M
+from video_unscreen_tpu.pipeline.fused_green import FusedGreenPipeline
+from tests.test_pipeline_green import TEST_CFG, make_clip
+
+
+def test_fused_green_quality():
+    frames, gts = make_clip(n=6)
+    h, w = frames[0].shape[:2]
+    pipe = FusedGreenPipeline(TEST_CFG, (h, w), work_long_side=128)
+    alphas, fgs, bgs = pipe.run(frames, chunk_size=3)
+    assert alphas.shape[0] == len(frames)
+    mious = []
+    for i, gt in enumerate(gts):
+        gt_w = np.asarray(jnp.asarray(gt, jnp.float32))
+        alpha_full = np.asarray(
+            jnp.asarray(alphas[i], jnp.float32))
+        # alphas are at work res; resize GT to work res for scoring
+        from video_unscreen_tpu.ops.geometry import resize
+        gt_small = np.asarray(resize(jnp.asarray(gt_w), alphas[i].shape))
+        mious.append(float(M.miou(jnp.asarray(gt_small),
+                                  jnp.asarray(alpha_full))))
+    assert np.mean(mious) > 0.75, mious
+
+
+def test_fused_green_tail_padding():
+    frames, _ = make_clip(n=5)
+    h, w = frames[0].shape[:2]
+    pipe = FusedGreenPipeline(TEST_CFG, (h, w), work_long_side=128)
+    alphas, _, _ = pipe.run(frames, chunk_size=4)
+    assert alphas.shape[0] == 5

@@ -159,29 +159,8 @@ class ChromaSegAgent:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def device_forward(self, img: jax.Array) -> jax.Array:
-        from ..ops.color import bgr2hsv
-        from ..ops.morphology import dilate, erode
-        hsv = bgr2hsv(img)
-        h_ch = hsv[..., 0]
-        sat = hsv[..., 1]
-        # histogram peak over saturated pixels (the screen)
-        bins = jnp.clip(h_ch.astype(jnp.int32), 0, 255).reshape(-1)
-        weight = (sat > 60).astype(jnp.float32).reshape(-1)
-        hist = jnp.zeros(256, jnp.float32).at[bins].add(weight)
-        peak = jnp.argmax(hist).astype(jnp.float32)
-        near_peak = jnp.abs(h_ch - peak) < 8
-        sel = (near_peak & (sat > 60)).astype(jnp.float32)
-        cnt = jnp.maximum(sel.sum(), 1.0)
-        s_mean = (hsv[..., 1] * sel).sum() / cnt
-        v_mean = (hsv[..., 2] * sel).sum() / cnt
-        bg_hsv = jnp.stack([peak, s_mean, v_mean])
-        half = jnp.asarray(self.color_winsize, jnp.float32) // 2
-        lower = jnp.clip(bg_hsv - half, 10.0, 255.0)
-        upper = jnp.clip(bg_hsv + half, 10.0, 255.0)
-        is_bg = jnp.all((hsv >= lower) & (hsv <= upper), axis=-1)
-        mask = jnp.where(is_bg, 0.0, 255.0)
-        mask = dilate(erode(mask, 3, self.clean_iters), 3, self.clean_iters)
-        mask = erode(dilate(mask, 3, self.clean_iters), 3, self.clean_iters)
+        from ..ops.chroma import chroma_segment
+        mask, _ = chroma_segment(img, self.color_winsize, self.clean_iters)
         return mask
 
     def forward(self, img: np.ndarray) -> np.ndarray:

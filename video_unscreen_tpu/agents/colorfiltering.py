@@ -132,10 +132,10 @@ class ColorFilteringAgent:
         return bool(self.state.trained)
 
     # -- device core --------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def device_forward(self, img: jax.Array, mask: jax.Array, iters: int,
-                       state: CFState) -> Tuple[jax.Array, jax.Array,
-                                                jax.Array, CFState]:
+    def device_forward_impl(self, img: jax.Array, mask: jax.Array,
+                            iters: int, state: CFState
+                            ) -> Tuple[jax.Array, jax.Array,
+                                       jax.Array, CFState]:
         """One color-filtering step at work resolution.
 
         Args:
@@ -217,6 +217,11 @@ class ColorFilteringAgent:
             lambda new, old: jnp.where(degenerate, old, new), out_state,
             state)
         return alpha, bg_color, conf, out_state
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def device_forward(self, img: jax.Array, mask: jax.Array, iters: int,
+                       state: CFState):
+        return self.device_forward_impl(img, mask, iters, state)
 
     # -- host API (reference-compatible) ------------------------------------
     def forward(self, img: np.ndarray, mask: np.ndarray, iters: int = 1):

@@ -49,10 +49,9 @@ class VMattingAgent:
             self.variables["params"] = spectral_normalize_tree(
                 self.variables["params"])
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def device_forward(self, variables, img: jax.Array, alpha_pre: jax.Array,
-                       trimap: jax.Array,
-                       input_hw: Tuple[int, int]) -> jax.Array:
+    def device_forward_impl(self, variables, img: jax.Array,
+                            alpha_pre: jax.Array, trimap: jax.Array,
+                            input_hw: Tuple[int, int]) -> jax.Array:
         """(H,W,3) BGR + (H,W) alpha_pre + (H,W) trimap -> (H,W) alpha 0..255."""
         ori_hw = trimap.shape
         img_p = pad_resize(img, input_hw)
@@ -71,6 +70,13 @@ class VMattingAgent:
         pred = jnp.where(trimap == 0.0, 0.0, pred)
         pred = jnp.where(trimap == 255.0, 1.0, pred)
         return pred * 255.0
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def device_forward(self, variables, img: jax.Array, alpha_pre: jax.Array,
+                       trimap: jax.Array,
+                       input_hw: Tuple[int, int]) -> jax.Array:
+        return self.device_forward_impl(variables, img, alpha_pre, trimap,
+                                        input_hw)
 
     def forward(self, img: np.ndarray, alpha_pre: np.ndarray,
                 trimap: np.ndarray) -> np.ndarray:

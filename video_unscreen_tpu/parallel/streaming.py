@@ -55,8 +55,9 @@ class FrameStreamer:
         def worker():
             try:
                 for chunk in self._chunks():
+                    # uint8 on the wire (4x less host->HBM traffic than
+                    # f32); device programs upcast after transfer
                     arr = np.stack([self._load(it) for it in chunk])
-                    arr = arr.astype(np.float32)
                     if self.preprocess is not None:
                         arr = self.preprocess(arr)
                     buf = (jax.device_put(arr, self.device)

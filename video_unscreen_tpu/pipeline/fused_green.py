@@ -1,0 +1,185 @@
+"""Fused green mode — the whole per-frame stage chain as ONE compiled
+program, scanned over frame chunks.
+
+This is the performance path (SURVEY.md §7 step 8): where the modular
+driver (`pipeline/green.py`) crosses host<->device at every stage like the
+reference crosses host<->GPU (`SURVEY.md §2.4`), this path keeps frames,
+the GMM state, and the alpha recurrence device-resident:
+
+    host:   decode -> FrameStreamer (double-buffered device_put)
+    device: lax.scan over frames of
+              chroma-seg -> color-filter (cond: refit / predict) ->
+              object removal -> trimap -> matting UNet -> color-correct ->
+              fg un-blend
+    host:   fetch uint8 artifacts per chunk
+
+All stages run at one work resolution (long side `work_long_side`,
+divisible by 32 for the matting net). Data-dependent gates (tracking,
+fg-exists, cf refit schedule) are `lax.cond`/selects inside the scan —
+one compiled program serves the entire clip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.colorfiltering import CFState, ColorFilteringAgent
+from ..agents.vmatting import VMattingAgent
+from ..ops.chroma import chroma_segment
+from ..ops.color import hsv2bgr
+from ..ops.compositing import color_correct, get_fg
+from ..ops.connected import remove_invalid_objects
+from ..ops.geometry import get_target_size, resize
+from ..ops.trimap import generate_trimap_withbg
+from ..parallel.streaming import FrameStreamer
+from .common import build_score_map
+
+
+class GreenCarry(NamedTuple):
+    alpha_pre: jax.Array     # (H, W) work-res alpha of previous frame
+    tracking: jax.Array      # scalar bool
+    cf_state: CFState
+    fid: jax.Array           # scalar int32
+
+
+def _canon(tree):
+    """Strip weak types so carry avals are stable across scan/chunk calls."""
+    return jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype), tree)
+
+
+class FusedGreenPipeline:
+    """Compiled green-mode runner for one clip geometry."""
+
+    def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
+                 work_long_side: int = 960):
+        self.cfg = cfg
+        self.ori_hw = tuple(frame_hw)
+        self.work_hw = get_target_size(frame_hw[0], frame_hw[1],
+                                       work_long_side, division=32)
+        self.cf = ColorFilteringAgent(**{
+            k: v for k, v in cfg["colorfiltering"].items()
+            if k != "input_long_side"}, input_long_side=work_long_side)
+        self.vmat = VMattingAgent(
+            model_path=cfg["vmatting"].get("model_path"),
+            input_long_side=work_long_side)
+        self.score_map = jnp.asarray(
+            build_score_map(self.work_hw[0], self.work_hw[1], cfg))
+        self.fg_exist_thr = float(cfg["fg_exist_thr"])
+        self.cf_duration = int(cfg["colorfiltering_update_duration"])
+        self.cf_train_iters = int(cfg["colorfiltering_train_iters"])
+        self.saliency_thr = float(cfg["objectremoval"]["saliency_thr"])
+        self.consensus_thr = float(cfg["objectremoval"]["consensus_thr"])
+        tri = cfg["trimap"]
+        self.tri_kernel = int(tri["kernelsize"])
+        self.tri_iters = int(tri["iters"])
+        self.tri_winsize = tuple(int(v) for v in tri["color_winsize"])
+
+    def init_carry(self) -> GreenCarry:
+        h, w = self.work_hw
+        return _canon(GreenCarry(
+            alpha_pre=jnp.zeros((h, w), jnp.float32),
+            tracking=jnp.asarray(False),
+            cf_state=self.cf.reset_gmms(),
+            fid=jnp.asarray(0, jnp.int32)))
+
+    # -- per-frame step (traced once) ----------------------------------------
+    def _step(self, carry: GreenCarry, frame_full: jax.Array):
+        h, w = self.work_hw
+        frame = resize(frame_full.astype(jnp.float32), self.work_hw)
+
+        # 1. segmentation: tracking shortcut or chroma seed
+        chroma_mask, _ = chroma_segment(frame)
+        segmask = jnp.where(carry.tracking, carry.alpha_pre, chroma_mask)
+        fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
+
+        # cf_iters schedule (`tools/unscreen/green.py:88-96`)
+        refit = ((carry.fid % self.cf_duration == 0)
+                 | ~carry.tracking | ~carry.cf_state.trained)
+
+        def run_cf(args):
+            frame_, segmask_, state = args
+            return self.cf.device_forward_impl(frame_, segmask_,
+                                               self.cf_train_iters, state)
+
+        def run_cf_predict(args):
+            frame_, segmask_, state = args
+            return self.cf.device_forward_impl(frame_, segmask_, 0, state)
+
+        alphacf, bg_color, _, cf_state = jax.lax.cond(
+            refit, run_cf, run_cf_predict,
+            (frame, segmask, carry.cf_state))
+
+        # 3. invalid-object removal (segmask consensus unless tracking)
+        consensus_ref = jnp.where(carry.tracking, alphacf, segmask)
+        alphaor = remove_invalid_objects(
+            alphacf, consensus_ref, self.score_map,
+            saliency_thr=self.saliency_thr,
+            consensus_thr=self.consensus_thr)
+
+        # 4. trimap + matting
+        trimap = generate_trimap_withbg(
+            alphaor, frame, bg_color, self.tri_kernel, self.tri_iters,
+            self.tri_winsize)
+        alpha = self.vmat.device_forward_impl(
+            self.vmat.variables, frame, carry.alpha_pre, trimap,
+            self.work_hw)
+
+        # 5. color correction
+        alpha = color_correct(frame, alpha, bg_color,
+                              target_long_side=max(self.work_hw))
+
+        # 6. fg un-blend
+        bgimg = jnp.where((alpha < 128)[..., None], frame,
+                          jnp.broadcast_to(bg_color, frame.shape))
+        fg = get_fg(frame, alpha, bgimg)
+
+        # no-foreground gate (`green.py:82-86`)
+        alpha = jnp.where(fg_exists, alpha, 0.0)
+        fg = jnp.where(fg_exists, fg, 0.0)
+        bgimg = jnp.where(fg_exists, bgimg, frame)
+
+        tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
+        # canonicalize (strip weak types) so chunk N+1 reuses chunk N's
+        # compiled program — weak-type drift would force a recompile
+        new_carry = _canon(GreenCarry(alpha_pre=alpha, tracking=tracking,
+                                      cf_state=cf_state, fid=carry.fid + 1))
+        # one packed uint8 output tensor: [alpha | fg | bg] on the channel
+        # axis — a single d2h round trip per chunk instead of three
+        packed = jnp.concatenate(
+            [alpha[..., None], fg, bgimg], axis=-1).astype(jnp.uint8)
+        return new_carry, packed
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def process_chunk(self, carry: GreenCarry, frames: jax.Array):
+        """frames: (N, H, W, 3) full-res float32 0..255, device-resident."""
+        return jax.lax.scan(self._step, carry, frames)
+
+    # -- host driver ----------------------------------------------------------
+    def run(self, frames, chunk_size: int = 8):
+        """Stream a clip through the compiled pipeline.
+
+        Returns (alphas, fgs, bgs) as uint8 numpy arrays at work res.
+        Device->host fetches are deferred until the device queue is full so
+        compute, h2d, and d2h all overlap.
+        """
+        carry = self.init_carry()
+        device_outs = []
+        lengths = []
+        streamer = FrameStreamer(frames, chunk_size=chunk_size)
+        for chunk in streamer:
+            n = chunk.shape[0]
+            if n < chunk_size:  # pad the tail to the compiled shape
+                pad = jnp.tile(chunk[-1:], (chunk_size - n, 1, 1, 1))
+                chunk = jnp.concatenate([chunk, pad], axis=0)
+            carry, packed = self.process_chunk(carry, chunk)
+            device_outs.append(packed)
+            lengths.append(n)
+        parts = [np.asarray(p[:n]) for p, n in zip(device_outs, lengths)]
+        packed = np.concatenate(parts)
+        return packed[..., 0], packed[..., 1:4], packed[..., 4:7]
