@@ -8,12 +8,16 @@ depthwise-separable SepConvHead (`basic_blocks.py:46-121`).
 
 Clicks are a fixed-size (max_clicks, 3) tensor of (is_positive, y, x) with
 y < 0 marking empty slots — shape-static, so BRS optimization can
-differentiate through one compiled forward.
+differentiate through one compiled forward. The forward exposes an
+`after_aspp` insertion point: per-channel (1 + scale, bias) applied to the
+concat of upsampled-ASPP + skip features (160 ch), which is exactly what
+`FeatureBRSPredictor(insertion_mode='after_aspp')` optimizes
+(`brs_predictor.py:143-162`).
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -73,50 +77,89 @@ class SepConvHead(nn.Module):
 
 class BRSDeepLabV3Plus(nn.Module):
     """DeepLab variant used by BRS (`deeplab_v3.py:11-93`): resnet50
-    backbone, skip-project c1 -> 32, ASPP(ch) at c4, separable head
-    producing ch-dim features at 1/4."""
+    backbone, skip-project c1 -> 32, ASPP(ch=128) at c4, separable head
+    producing ch-dim features at 1/4.
+
+    `features()` returns the pre-head `after_aspp` tensor (160 ch);
+    `head()` finishes the computation — the split lets the BRS optimizer
+    re-run only the cheap head under its scale/bias perturbation.
+    """
     ch: int = 128
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = ResNet(block="bottleneck", layers=(3, 4, 6, 3),
-                       dtype=self.dtype, name="backbone")(x, train)
+    def setup(self):
+        self.backbone = ResNet(block="bottleneck", layers=(3, 4, 6, 3),
+                               dtype=self.dtype)
+        self.skip_conv = nn.Conv(32, (3, 3), padding=1, use_bias=False,
+                                 dtype=self.dtype)
+        self.skip_bn = nn.BatchNorm(dtype=self.dtype)
+        self.aspp = ASPP((12, 24, 36), self.ch, self.dtype)
+        self.head_module = SepConvHead(self.ch, self.ch, num_layers=2,
+                                       dtype=self.dtype)
+
+    def features(self, x, train: bool = False):
+        feats = self.backbone(x, train)
         c1, c4 = feats["c1"], feats["c4"]
-        skip = nn.Conv(32, (3, 3), padding=1, use_bias=False,
-                       dtype=self.dtype, name="skip_conv")(c1)
-        skip = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                            name="skip_bn")(skip)
+        skip = self.skip_conv(c1)
+        skip = self.skip_bn(skip, use_running_average=not train)
         skip = nn.relu(skip)
-        a = ASPP((12, 24, 36), self.ch, self.dtype, name="aspp")(c4, train)
-        n, h, w, c = skip.shape
+        a = self.aspp(c4, train)
+        n, h, w, _ = skip.shape
         a = jax.image.resize(a, (n, h, w, a.shape[-1]), method="linear")
-        x = jnp.concatenate([a, skip], axis=-1)
-        # _DeepLabHead: two separable convs to ch
-        x = SepConvHead(self.ch, self.ch, num_layers=2, dtype=self.dtype,
-                        name="head")(x, train)
-        return x
+        return jnp.concatenate([a, skip], axis=-1)  # (N, H/4, W/4, ch+32)
+
+    def head(self, after_aspp, train: bool = False):
+        return self.head_module(after_aspp, train)
+
+    def __call__(self, x, train: bool = False):
+        return self.head(self.features(x, train), train)
 
 
 class DistMapsModel(nn.Module):
-    """Full click-to-mask model (`distmap.py:5-66` + `agent.py:28-50`)."""
+    """Full click-to-mask model (`distmap.py:5-66` + `iseg/agent.py:28-50`)."""
     ch: int = 128
     norm_radius: float = 260.0
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, image, points, train: bool = False):
-        """image: (B, H, W, 3) normalized; points: (B, N, 3)."""
+    def setup(self):
+        self.rgb_conv1 = nn.Conv(8, (1, 1), dtype=self.dtype)
+        self.rgb_bn = nn.BatchNorm(dtype=self.dtype)
+        self.rgb_conv2 = nn.Conv(3, (1, 1), dtype=self.dtype)
+        self.feature_extractor = BRSDeepLabV3Plus(self.ch, self.dtype)
+        self.inst_head = SepConvHead(1, self.ch // 2, num_layers=2,
+                                     dtype=self.dtype)
+
+    def _fuse(self, image, points, train):
         n, h, w, _ = image.shape
         coord = dist_maps(points, h, w, self.norm_radius)
         x = jnp.concatenate([image, coord], axis=-1)
-        x = nn.Conv(8, (1, 1), dtype=self.dtype, name="rgb_conv1")(x)
+        x = self.rgb_conv1(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="rgb_bn")(x)
-        x = nn.Conv(3, (1, 1), dtype=self.dtype, name="rgb_conv2")(x)
-        feats = BRSDeepLabV3Plus(self.ch, self.dtype,
-                                 name="feature_extractor")(x, train)
-        out = SepConvHead(1, self.ch // 2, num_layers=2, dtype=self.dtype,
-                          name="inst_head")(feats, train)
-        return jax.image.resize(out, (n, h, w, 1), method="linear")
+        x = self.rgb_bn(x, use_running_average=not train)
+        return self.rgb_conv2(x)
+
+    def features(self, image, points, train: bool = False):
+        """`after_aspp` features (the BRS insertion point)."""
+        return self.feature_extractor.features(
+            self._fuse(image, points, train), train)
+
+    def logits_from_features(self, after_aspp, out_hw,
+                             scale: Optional[jax.Array] = None,
+                             bias: Optional[jax.Array] = None,
+                             train: bool = False):
+        """Finish the forward from the insertion point, optionally applying
+        the per-channel BRS perturbation feats*(1+scale)+bias
+        (`brs_optimizer.py:118-133`)."""
+        if scale is not None:
+            after_aspp = after_aspp * (1.0 + scale) + bias
+        feats = self.feature_extractor.head(after_aspp, train)
+        out = self.inst_head(feats, train)
+        n = out.shape[0]
+        return jax.image.resize(out, (n,) + tuple(out_hw) + (1,),
+                                method="linear")
+
+    def __call__(self, image, points, train: bool = False):
+        """image: (B, H, W, 3) normalized; points: (B, N, 3)."""
+        h, w = image.shape[1:3]
+        after_aspp = self.features(image, points, train)
+        return self.logits_from_features(after_aspp, (h, w), train=train)

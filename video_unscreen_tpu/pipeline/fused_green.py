@@ -91,7 +91,9 @@ class FusedGreenPipeline:
     # -- per-frame step (traced once) ----------------------------------------
     def _step(self, carry: GreenCarry, frame_full: jax.Array):
         h, w = self.work_hw
-        frame = resize(frame_full.astype(jnp.float32), self.work_hw)
+        frame = frame_full.astype(jnp.float32)
+        if frame.shape[:2] != self.work_hw:
+            frame = resize(frame, self.work_hw)
 
         # 1. segmentation: tracking shortcut or chroma seed
         chroma_mask, _ = chroma_segment(frame)
@@ -142,18 +144,19 @@ class FusedGreenPipeline:
         # no-foreground gate (`green.py:82-86`)
         alpha = jnp.where(fg_exists, alpha, 0.0)
         fg = jnp.where(fg_exists, fg, 0.0)
-        bgimg = jnp.where(fg_exists, bgimg, frame)
 
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         # canonicalize (strip weak types) so chunk N+1 reuses chunk N's
         # compiled program — weak-type drift would force a recompile
         new_carry = _canon(GreenCarry(alpha_pre=alpha, tracking=tracking,
                                       cf_state=cf_state, fid=carry.fid + 1))
-        # one packed uint8 output tensor: [alpha | fg | bg] on the channel
-        # axis — a single d2h round trip per chunk instead of three
+        # one packed uint8 output tensor: [alpha | fg] on the channel axis —
+        # a single d2h round trip per chunk. bg is NOT shipped: it is
+        # alpha<128 ? frame : bg_color, reconstructable on the host from
+        # the returned per-frame bg_color for ~free.
         packed = jnp.concatenate(
-            [alpha[..., None], fg, bgimg], axis=-1).astype(jnp.uint8)
-        return new_carry, packed
+            [alpha[..., None], fg], axis=-1).astype(jnp.uint8)
+        return new_carry, (packed, bg_color)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def process_chunk(self, carry: GreenCarry, frames: jax.Array):
@@ -161,25 +164,59 @@ class FusedGreenPipeline:
         return jax.lax.scan(self._step, carry, frames)
 
     # -- host driver ----------------------------------------------------------
-    def run(self, frames, chunk_size: int = 8):
+    def run(self, frames, chunk_size: int = 8, host_downscale: bool = True):
         """Stream a clip through the compiled pipeline.
 
         Returns (alphas, fgs, bgs) as uint8 numpy arrays at work res.
-        Device->host fetches are deferred until the device queue is full so
-        compute, h2d, and d2h all overlap.
+
+        Wire discipline (the tunnel/PCIe is the bottleneck, not compute):
+        - `host_downscale` resizes frames to work res on the host before
+          transfer (the reference resizes on host too,
+          `binseg/agent.py:193`), cutting h2d bytes ~15x at 1080p.
+        - outputs start their d2h copy asynchronously right after each
+          chunk's dispatch, overlapping the next chunk's compute.
+        - bg frames are reconstructed host-side from (alpha, bg_color).
         """
+        import cv2
+
         carry = self.init_carry()
+        wh = (self.work_hw[1], self.work_hw[0])
+
+        def preprocess(arr):
+            if not host_downscale or arr.shape[1:3] == self.work_hw:
+                return arr
+            return np.stack([cv2.resize(f, wh) for f in arr])
+
         device_outs = []
         lengths = []
-        streamer = FrameStreamer(frames, chunk_size=chunk_size)
+        work_frames = []
+        streamer = FrameStreamer(frames, chunk_size=chunk_size,
+                                 preprocess=preprocess)
         for chunk in streamer:
             n = chunk.shape[0]
             if n < chunk_size:  # pad the tail to the compiled shape
                 pad = jnp.tile(chunk[-1:], (chunk_size - n, 1, 1, 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
-            carry, packed = self.process_chunk(carry, chunk)
-            device_outs.append(packed)
+            work_frames.append(chunk)
+            carry, (packed, bg_colors) = self.process_chunk(carry, chunk)
+            for buf in (packed, bg_colors):
+                buf.copy_to_host_async()
+            device_outs.append((packed, bg_colors))
             lengths.append(n)
-        parts = [np.asarray(p[:n]) for p, n in zip(device_outs, lengths)]
-        packed = np.concatenate(parts)
-        return packed[..., 0], packed[..., 1:4], packed[..., 4:7]
+
+        alphas, fgs, bgs = [], [], []
+        for (packed, bg_colors), wf, n in zip(device_outs, work_frames,
+                                              lengths):
+            p = np.asarray(packed)[:n]
+            bc = np.asarray(bg_colors)[:n]
+            alphas.append(p[..., 0])
+            fgs.append(p[..., 1:4])
+            frames_w = np.asarray(wf)[:n]
+            if frames_w.shape[1:3] != self.work_hw:
+                frames_w = np.stack([cv2.resize(f, wh) for f in
+                                     frames_w.astype(np.uint8)])
+            bg = np.where((p[..., :1] < 128), frames_w.astype(np.uint8),
+                          bc[:, None, None, :].astype(np.uint8))
+            bgs.append(bg)
+        return (np.concatenate(alphas), np.concatenate(fgs),
+                np.concatenate(bgs))
