@@ -1,0 +1,187 @@
+// Native data-loader runtime: threaded JPEG decode/encode + resize.
+//
+// The reference feeds its pipeline with a 48-process Python pool around
+// cv2.imread (unscreen/utils/fileio.py:31-38) and writes three JPEG
+// artifacts per frame. This library replaces both hot paths with a C++
+// thread pool over libjpeg, exposed through a plain C ABI consumed via
+// ctypes (video_unscreen_tpu/runtime/__init__.py). Decoded frames land
+// directly in the caller-provided pinned buffer that feeds the
+// host->HBM streaming queue.
+//
+// Build: g++ -O3 -shared -fPIC loader.cpp -ljpeg -o libvu_runtime.so
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Bilinear resize (half-pixel centers, matching cv2.INTER_LINEAR), BGR u8.
+void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                     int dh, int dw) {
+  const float sy = static_cast<float>(sh) / dh;
+  const float sx = static_cast<float>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
+    if (y0 > sh - 2) y0 = sh - 2;
+    float wy = fy - y0;
+    if (wy < 0) wy = 0;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+      if (x0 > sw - 2) x0 = sw - 2;
+      float wx = fx - x0;
+      if (wx < 0) wx = 0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * 3;
+      const uint8_t* p01 = p00 + 3;
+      const uint8_t* p10 = p00 + sw * 3;
+      const uint8_t* p11 = p10 + 3;
+      uint8_t* out = dst + (y * dw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float top = p00[c] + wx * (p01[c] - p00[c]);
+        float bot = p10[c] + wx * (p11[c] - p10[c]);
+        out[c] = static_cast<uint8_t>(top + wy * (bot - top) + 0.5f);
+      }
+    }
+  }
+}
+
+// Decode one JPEG file to BGR u8. Returns 0 on success.
+int decode_one(const char* path, int target_h, int target_w, uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_EXT_BGR;  // libjpeg-turbo BGR output
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width;
+  const int sh = cinfo.output_height;
+  std::vector<uint8_t> buf(static_cast<size_t>(sw) * sh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() + static_cast<size_t>(cinfo.output_scanline)
+                   * sw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+
+  if (target_h == sh && target_w == sw) {
+    std::memcpy(out, buf.data(), buf.size());
+  } else {
+    resize_bilinear(buf.data(), sh, sw, out, target_h, target_w);
+  }
+  return 0;
+}
+
+// Encode one BGR u8 buffer to a JPEG file. Returns 0 on success.
+int encode_one(const char* path, const uint8_t* img, int h, int w,
+               int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return 1;
+  jpeg_compress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_EXT_BGR;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        img + static_cast<size_t>(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+template <typename Fn>
+void parallel_for(int n, int threads, Fn fn) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next(0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&]() {
+      int i;
+      while ((i = next.fetch_add(1)) < n) fn(i);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n JPEGs into out (n, target_h, target_w, 3) BGR u8.
+// Returns the number of failures; failed slots are zero-filled.
+int vu_decode_batch(const char** paths, int n, int target_h, int target_w,
+                    uint8_t* out, int threads) {
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(target_h) * target_w * 3;
+  parallel_for(n, threads, [&](int i) {
+    if (decode_one(paths[i], target_h, target_w, out + i * stride) != 0) {
+      std::memset(out + i * stride, 0, stride);
+      failures.fetch_add(1);
+    }
+  });
+  return failures.load();
+}
+
+// Encode n BGR u8 images (n, h, w, 3) to paths. Returns failure count.
+int vu_encode_batch(const char** paths, const uint8_t* imgs, int n, int h,
+                    int w, int quality, int threads) {
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(h) * w * 3;
+  parallel_for(n, threads, [&](int i) {
+    if (encode_one(paths[i], imgs + i * stride, h, w, quality) != 0) {
+      failures.fetch_add(1);
+    }
+  });
+  return failures.load();
+}
+
+// Probe a JPEG's dimensions without full decode. Returns 0 on success.
+int vu_probe(const char* path, int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  int ok = jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK;
+  if (ok) {
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+  }
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return ok ? 0 : 2;
+}
+
+}  // extern "C"

@@ -30,7 +30,21 @@ def write_txt_list(path: str, items: Sequence[str]) -> None:
 
 def parallel_read_img(paths: Sequence[str], num_workers: int = 16,
                       flag=cv2.IMREAD_COLOR) -> List[np.ndarray]:
-    """Decode images concurrently (thread pool; cv2 drops the GIL)."""
+    """Decode images concurrently.
+
+    JPEG batches go through the native C++ runtime (threaded libjpeg,
+    `runtime/loader.cpp`) when available — frames in a clip share one
+    geometry, matching the reference's usage. Everything else falls back
+    to a cv2 thread pool (cv2 drops the GIL during imdecode).
+    """
+    paths = list(paths)
+    if flag == cv2.IMREAD_COLOR and paths and all(
+            p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        from .. import runtime
+        if runtime.available():
+            out = runtime.decode_batch(paths, threads=num_workers)
+            if out is not None:
+                return list(out)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         return list(pool.map(lambda p: cv2.imread(p, flag), paths))
 
