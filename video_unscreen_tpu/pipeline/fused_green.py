@@ -57,7 +57,20 @@ class FusedGreenPipeline:
     """Compiled green-mode runner for one clip geometry."""
 
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
-                 work_long_side: int = 960):
+                 work_long_side: int = 960, fetch_fg: str = "auto"):
+        """`fetch_fg`: where the fg artifact materializes.
+          - "device": fg computed and fetched from the device (preferred on
+            PCIe-attached hosts).
+          - "host": only the alpha plane and per-frame bg color cross the
+            device->host link; fg is reconstructed by the native C++
+            runtime (`vu_get_fg_batch`) — 4x less d2h traffic, right call
+            on bandwidth-limited links.
+          - "auto": "host" when the native runtime is available.
+        """
+        from .. import runtime as native_runtime
+        if fetch_fg == "auto":
+            fetch_fg = "host" if native_runtime.available() else "device"
+        self.fetch_fg = fetch_fg
         self.cfg = cfg
         self.ori_hw = tuple(frame_hw)
         self.work_hw = get_target_size(frame_hw[0], frame_hw[1],
@@ -136,26 +149,33 @@ class FusedGreenPipeline:
         alpha = color_correct(frame, alpha, bg_color,
                               target_long_side=max(self.work_hw))
 
-        # 6. fg un-blend
-        bgimg = jnp.where((alpha < 128)[..., None], frame,
-                          jnp.broadcast_to(bg_color, frame.shape))
-        fg = get_fg(frame, alpha, bgimg)
+        # 6. fg un-blend (on device only in "device" fetch mode; in "host"
+        # mode the native runtime reconstructs it from alpha + bg_color)
+        if self.fetch_fg == "device":
+            bgimg = jnp.where((alpha < 128)[..., None], frame,
+                              jnp.broadcast_to(bg_color, frame.shape))
+            fg = get_fg(frame, alpha, bgimg)
+        else:
+            fg = None
 
         # no-foreground gate (`green.py:82-86`)
         alpha = jnp.where(fg_exists, alpha, 0.0)
-        fg = jnp.where(fg_exists, fg, 0.0)
+        if fg is not None:
+            fg = jnp.where(fg_exists, fg, 0.0)
 
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         # canonicalize (strip weak types) so chunk N+1 reuses chunk N's
         # compiled program — weak-type drift would force a recompile
         new_carry = _canon(GreenCarry(alpha_pre=alpha, tracking=tracking,
                                       cf_state=cf_state, fid=carry.fid + 1))
-        # one packed uint8 output tensor: [alpha | fg] on the channel axis —
-        # a single d2h round trip per chunk. bg is NOT shipped: it is
-        # alpha<128 ? frame : bg_color, reconstructable on the host from
-        # the returned per-frame bg_color for ~free.
-        packed = jnp.concatenate(
-            [alpha[..., None], fg], axis=-1).astype(jnp.uint8)
+        # one packed uint8 output tensor — a single d2h round trip per
+        # chunk. bg is NEVER shipped: it is alpha<128 ? frame : bg_color,
+        # reconstructable on the host from the per-frame bg_color for free.
+        if fg is not None:
+            packed = jnp.concatenate(
+                [alpha[..., None], fg], axis=-1).astype(jnp.uint8)
+        else:
+            packed = alpha[..., None].astype(jnp.uint8)
         return new_carry, (packed, bg_color)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -210,12 +230,18 @@ class FusedGreenPipeline:
             p = np.asarray(packed)[:n]
             bc = np.asarray(bg_colors)[:n]
             alphas.append(p[..., 0])
-            fgs.append(p[..., 1:4])
             frames_w = np.asarray(wf)[:n]
             if frames_w.shape[1:3] != self.work_hw:
                 frames_w = np.stack([cv2.resize(f, wh) for f in
                                      frames_w.astype(np.uint8)])
-            bg = np.where((p[..., :1] < 128), frames_w.astype(np.uint8),
+            frames_w = frames_w.astype(np.uint8)
+            if self.fetch_fg == "device":
+                fgs.append(p[..., 1:4])
+            else:
+                from .. import runtime as native_runtime
+                fgs.append(native_runtime.get_fg_batch(
+                    frames_w, p[..., 0], bc))
+            bg = np.where((p[..., :1] < 128), frames_w,
                           bc[:, None, None, :].astype(np.uint8))
             bgs.append(bg)
         return (np.concatenate(alphas), np.concatenate(fgs),

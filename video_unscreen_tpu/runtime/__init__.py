@@ -63,6 +63,11 @@ def _load():
     lib.vu_probe.argtypes = [ctypes.c_char_p,
                              ctypes.POINTER(ctypes.c_int),
                              ctypes.POINTER(ctypes.c_int)]
+    lib.vu_get_fg_batch.restype = ctypes.c_int
+    lib.vu_get_fg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -101,6 +106,27 @@ def decode_batch(paths: Sequence[str],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     if failures:
         print(f"vu_runtime: {failures}/{n} decodes failed (zero-filled)")
+    return out
+
+
+def get_fg_batch(frames: np.ndarray, alphas: np.ndarray,
+                 bg_colors: np.ndarray, threads: int = 16) -> np.ndarray:
+    """Foreground un-blend on the host (HSV semantics of
+    `unscreen/utils/fgfuncs.py:84-110`), threaded in C++."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    alphas = np.ascontiguousarray(alphas, np.uint8)
+    bg_colors = np.ascontiguousarray(bg_colors, np.float32)
+    n, h, w, _ = frames.shape
+    out = np.empty_like(frames)
+    lib.vu_get_fg_batch(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bg_colors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, threads)
     return out
 
 
