@@ -87,7 +87,7 @@ class KeyValue(nn.Module):
         return k, v
 
 
-def memory_read(mem_k, mem_v, valid, q_k, q_v):
+def memory_read(mem_k, mem_v, valid, q_k, q_v, use_pallas=None):
     """Masked scaled-dot-product read over the memory bank.
 
     Equivalent of `stm/model.py:135-156` with a fixed-capacity bank:
@@ -95,20 +95,32 @@ def memory_read(mem_k, mem_v, valid, q_k, q_v):
       valid: (B, T) slot validity, q_k: (B, Hm, Wm, Ck),
       q_v: (B, Hm, Wm, Cv).
     Returns (B, Hm, Wm, 2*Cv) — read result concat query value.
+
+    On TPU the read goes through the flash-style Pallas kernel
+    (`ops/pallas/attention.py`) — no (THW x HW) score matrix in HBM; on
+    other backends it falls back to a fused einsum pair.
     """
     b, t, hm, wm, ck = mem_k.shape
     cv = mem_v.shape[-1]
     mk = mem_k.reshape(b, t * hm * wm, ck)
     mv = mem_v.reshape(b, t * hm * wm, cv)
     qk = q_k.reshape(b, hm * wm, ck)
-    logits = jnp.einsum("bkc,bqc->bkq", mk, qk,
-                        preferred_element_type=jnp.float32)
-    logits = logits / jnp.sqrt(float(ck))
     mask = jnp.repeat(valid, hm * wm, axis=1)  # (B, T*Hm*Wm)
-    logits = jnp.where(mask[:, :, None], logits, -jnp.inf)
-    p = jax.nn.softmax(logits, axis=1)
-    mem = jnp.einsum("bkv,bkq->bqv", mv, p,
-                     preferred_element_type=jnp.float32)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas.attention import masked_memory_attention
+        mem = jax.vmap(masked_memory_attention)(
+            qk, mk, mv, mask.astype(jnp.float32))
+    else:
+        logits = jnp.einsum("bkc,bqc->bkq", mk, qk,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(float(ck))
+        logits = jnp.where(mask[:, :, None], logits, -jnp.inf)
+        p = jax.nn.softmax(logits, axis=1)
+        mem = jnp.einsum("bkv,bkq->bqv", mv, p,
+                         preferred_element_type=jnp.float32)
     mem = mem.reshape(b, hm, wm, cv)
     return jnp.concatenate([mem, q_v], axis=-1)
 
