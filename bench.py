@@ -51,6 +51,7 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--work_long_side", type=int, default=960)
+    parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
     args = parser.parse_args()
@@ -72,12 +73,16 @@ def main():
     # warmup: compile with one chunk
     pipe.run(frames[:args.chunk], chunk_size=args.chunk)
 
-    start = time.time()
-    alphas, fgs, bgs = pipe.run(frames, chunk_size=args.chunk)
-    elapsed = time.time() - start
+    # median of repeats — the host<->device link on shared tunnels has
+    # high run-to-run variance
+    times = []
+    for _ in range(args.repeats):
+        start = time.time()
+        alphas, fgs, bgs = pipe.run(frames, chunk_size=args.chunk)
+        times.append(time.time() - start)
     assert alphas.shape[0] == len(frames)
 
-    fps = len(frames) / elapsed
+    fps = len(frames) / sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": "green_1080p_fps_per_chip",
         "value": round(fps, 3),

@@ -209,7 +209,6 @@ class FusedGreenPipeline:
 
         device_outs = []
         lengths = []
-        work_frames = []
         streamer = FrameStreamer(frames, chunk_size=chunk_size,
                                  preprocess=preprocess)
         for chunk in streamer:
@@ -217,7 +216,6 @@ class FusedGreenPipeline:
             if n < chunk_size:  # pad the tail to the compiled shape
                 pad = jnp.tile(chunk[-1:], (chunk_size - n, 1, 1, 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
-            work_frames.append(chunk)
             carry, (packed, bg_colors) = self.process_chunk(carry, chunk)
             for buf in (packed, bg_colors):
                 buf.copy_to_host_async()
@@ -225,16 +223,18 @@ class FusedGreenPipeline:
             lengths.append(n)
 
         alphas, fgs, bgs = [], [], []
-        for (packed, bg_colors), wf, n in zip(device_outs, work_frames,
-                                              lengths):
+        start = 0
+        for (packed, bg_colors), n in zip(device_outs, lengths):
             p = np.asarray(packed)[:n]
             bc = np.asarray(bg_colors)[:n]
             alphas.append(p[..., 0])
-            frames_w = np.asarray(wf)[:n]
-            if frames_w.shape[1:3] != self.work_hw:
-                frames_w = np.stack([cv2.resize(f, wh) for f in
-                                     frames_w.astype(np.uint8)])
-            frames_w = frames_w.astype(np.uint8)
+            # work-res frames from the HOST originals (never fetch frames
+            # back over the device->host link)
+            frames_w = np.stack([
+                cv2.resize(np.asarray(f, np.uint8), wh)
+                if f.shape[:2] != self.work_hw else np.asarray(f, np.uint8)
+                for f in frames[start:start + n]])
+            start += n
             if self.fetch_fg == "device":
                 fgs.append(p[..., 1:4])
             else:
