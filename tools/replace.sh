@@ -4,5 +4,5 @@
 script=$1
 src=$2
 PY_ARGS=${@:3}
-export PYTHONPATH=./
+export PYTHONPATH=./:${PYTHONPATH}
 python tools/replace/${script}.py --src ${src} ${PY_ARGS}

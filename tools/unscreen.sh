@@ -15,6 +15,6 @@ if [ -z "${dev_id}" ]; then
     dev_id="0"
 fi
 
-export PYTHONPATH=./
+export PYTHONPATH=./:${PYTHONPATH}
 UNSCREEN_DEVICE_ID=${dev_id} python tools/unscreen/${script}.py --video_id ${src} ${PY_ARGS}
 echo "finished video ${src} on device ${dev_id}"
