@@ -111,10 +111,84 @@ class DeepLabV3Plus(nn.Module):
                                 method="linear")
 
 
+class DeepLabV3(nn.Module):
+    """Plain DeepLabV3 (no low-level skip): ASPP + 3x3 + classifier over
+    the high-level feature (`deeplab/_deeplab.py:73-95`)."""
+    num_classes: int = 2
+    backbone_layers: Sequence[int] = (3, 4, 6, 3)
+    output_stride: int = 8
+    aspp_dilations: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, in_h, in_w, _ = x.shape
+        dilate = ((False, True, True) if self.output_stride == 8
+                  else (False, False, True))
+        feats = ResNet(block="bottleneck", layers=self.backbone_layers,
+                       replace_stride_with_dilation=dilate, dtype=self.dtype,
+                       name="backbone")(x, train)
+        out = ASPP(self.aspp_dilations, dtype=self.dtype,
+                   name="aspp")(feats["c4"], train)
+        out = nn.Conv(256, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="cls_conv")(out)
+        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="cls_bn")(out)
+        out = nn.relu(out)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                         name="cls_out")(out)
+        return jax.image.resize(logits, (n, in_h, in_w, self.num_classes),
+                                method="linear")
+
+
+class DeepLabV3PlusMobileNet(nn.Module):
+    """deeplabv3plus_mobilenet variant (`deeplab/modeling.py:17-45`):
+    MobileNetV2 backbone, 24-ch low-level projected to 48, ASPP at the
+    320-ch high-level feature."""
+    num_classes: int = 2
+    output_stride: int = 8
+    aspp_dilations: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .mobilenetv2 import MobileNetV2Backbone
+        n, in_h, in_w, _ = x.shape
+        low, out = MobileNetV2Backbone(self.output_stride, self.dtype,
+                                       name="backbone")(x, train)
+        low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="project_conv")(low)
+        low = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="project_bn")(low)
+        low = nn.relu(low)
+        out = ASPP(self.aspp_dilations, dtype=self.dtype,
+                   name="aspp")(out, train)
+        out = jax.image.resize(out, (n, low.shape[1], low.shape[2],
+                                     out.shape[-1]), method="linear")
+        out = jnp.concatenate([low, out], axis=-1)
+        out = nn.Conv(256, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="cls_conv")(out)
+        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                           name="cls_bn")(out)
+        out = nn.relu(out)
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                         name="cls_out")(out)
+        return jax.image.resize(logits, (n, in_h, in_w, self.num_classes),
+                                method="linear")
+
+
 def build_deeplab(num_classes: int = 2, variant: str = "resnet50",
-                  output_stride: int = 8, dtype=jnp.float32) -> DeepLabV3Plus:
-    """Factory matching `deeplab/modeling.py:93-205` (used variant:
-    deeplabv3plus_resnet50, `deeplab_model.py:13`)."""
+                  output_stride: int = 8, plus: bool = True,
+                  dtype=jnp.float32):
+    """Factory matching `deeplab/modeling.py:93-205`: deeplabv3{,plus} x
+    {resnet50, resnet101, mobilenet}. The pipeline's used variant is
+    deeplabv3plus_resnet50 at output_stride 8 (`deeplab_model.py:13`)."""
+    if variant == "mobilenet":
+        assert plus, "mobilenet is wired for the V3+ head here"
+        return DeepLabV3PlusMobileNet(num_classes=num_classes,
+                                      output_stride=output_stride,
+                                      dtype=dtype)
     layers = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}[variant]
-    return DeepLabV3Plus(num_classes=num_classes, backbone_layers=layers,
-                         output_stride=output_stride, dtype=dtype)
+    cls = DeepLabV3Plus if plus else DeepLabV3
+    return cls(num_classes=num_classes, backbone_layers=layers,
+               output_stride=output_stride, dtype=dtype)

@@ -109,6 +109,48 @@ def composite_fgbg(fg: jax.Array, alpha: jax.Array, bg: jax.Array,
     return comp
 
 
+@jax.jit
+def get_mask(img: jax.Array):
+    """Gray threshold-25 mask of a color image — `imgprocess.py:17-30`.
+
+    Returns (mask 0/255 (H,W,1), binary mask 0/1 (H,W,1)).
+    """
+    from .color import bgr2gray
+    gray = bgr2gray(img)
+    thresh = jnp.where(gray > 25.0, 255.0, 0.0)
+    return thresh[..., None], (thresh / 255.0)[..., None]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def get_fgbox(fgmask: jax.Array, padsize: int = 5):
+    """Padded bounding box of the foreground — `maskprocess.py:37-53`.
+
+    Returns (top, bottom, left, right) as device scalars (row/col ranges
+    like the reference's np.where axis-0/axis-1 convention).
+    """
+    h, w = fgmask.shape
+    rows = (fgmask > 0).any(axis=1)
+    cols = (fgmask > 0).any(axis=0)
+    ridx = jnp.arange(h)
+    cidx = jnp.arange(w)
+    top = jnp.min(jnp.where(rows, ridx, h))
+    bottom = jnp.max(jnp.where(rows, ridx, -1))
+    left = jnp.min(jnp.where(cols, cidx, w))
+    right = jnp.max(jnp.where(cols, cidx, -1))
+    return (jnp.maximum(top - padsize, 0), jnp.minimum(bottom + padsize, h),
+            jnp.maximum(left - padsize, 0), jnp.minimum(right + padsize, w))
+
+
+@jax.jit
+def get_fg_with_colorremove(img: jax.Array, alpha: jax.Array, bg: jax.Array,
+                            winsize=(10, 100, 120)) -> jax.Array:
+    """Zero the alpha inside the chroma window, then un-blend —
+    `fgfuncs.py:140-169`."""
+    bg_mask = is_pixel_inrange(img, bg, winsize)
+    alpha = jnp.where(bg_mask, 0.0, alpha)
+    return get_fg(img, alpha, bg)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def color_correct(img: jax.Array, alpha: jax.Array, bg_color: jax.Array,
                   target_long_side: int = 960,

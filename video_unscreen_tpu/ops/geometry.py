@@ -128,6 +128,34 @@ def imnormalize(img: jax.Array,
     return (rgb - jnp.asarray(mean)) / jnp.asarray(std)
 
 
+def remove_blackborder(img: np.ndarray, location=None):
+    """Detect/crop all-zero border rows/cols (host-side, data-dependent
+    shapes) — `unscreen/utils/imgprocess.py:195-232`."""
+    h, w = img.shape[:2]
+    if location is not None:
+        t, left, b, r = location
+        return img[t:b, left:r]
+    rows = img.reshape(h, -1).sum(axis=1)
+    cols = np.moveaxis(img, 1, 0).reshape(w, -1).sum(axis=1)
+    t = int(np.argmax(rows > 0)) if (rows > 0).any() else 0
+    b = h - int(np.argmax(rows[::-1] > 0)) if (rows > 0).any() else h
+    left = int(np.argmax(cols > 0)) if (cols > 0).any() else 0
+    r = w - int(np.argmax(cols[::-1] > 0)) if (cols > 0).any() else w
+    if left >= r or t >= b:
+        return img, (0, 0, h, w)
+    return img[t:b, left:r], (t, left, b, r)
+
+
+def add_blackborder(img: np.ndarray, ori_size, location) -> np.ndarray:
+    """Inverse of remove_blackborder — `imgprocess.py:235-260`."""
+    t, left, b, r = location
+    ori_h, ori_w = ori_size
+    shape = (ori_h, ori_w) + img.shape[2:]
+    out = np.zeros(shape, img.dtype)
+    out[t:b, left:r] = img
+    return out
+
+
 def get_affine_params(center_xy, src_size, dst_hw, inv: bool = False) -> np.ndarray:
     """Host-side 2x3 affine matrix: scale a `src_size` box at `center_xy` to
     fill `dst_hw` (the person-box warp used by the SCHP human parser,

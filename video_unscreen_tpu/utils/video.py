@@ -21,3 +21,15 @@ def get_frame_size(video_path: str):
         return h, w
     finally:
         cap.release()
+
+
+def get_duration(video_path: str) -> float:
+    """Clip duration in seconds (`video.py:38-52` used ffprobe; frame
+    count / fps through cv2 avoids the subprocess)."""
+    cap = cv2.VideoCapture(video_path)
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        frames = cap.get(cv2.CAP_PROP_FRAME_COUNT)
+        return float(frames / fps) if fps > 0 else 0.0
+    finally:
+        cap.release()
