@@ -183,6 +183,38 @@ class FusedGreenPipeline:
         """frames: (N, H, W, 3) full-res float32 0..255, device-resident."""
         return jax.lax.scan(self._step, carry, frames)
 
+    # -- multi-chip: segments of one clip in parallel over the data axis ----
+    def process_segments(self, mesh, segments: jax.Array):
+        """Run S clip segments in parallel, one per `data`-axis device.
+
+        The frame recurrence (alpha_pre / tracking / GMM warm start) is
+        sequential *within* a segment; segments start from fresh carries —
+        the chunk-boundary re-seed the reference pipeline itself performs
+        whenever tracking resets (`tools/unscreen/green.py:137`,
+        SURVEY.md §5 long-context note). This is the TPU-native equivalent
+        of the reference's per-video process fan-out
+        (`tools/unscreen_parallel.py:22-24`), applied *within* a video.
+
+        segments: (S, L, H, W, 3) with S divisible by mesh.shape['data'].
+        Returns (packed (S, L, h, w, C), bg_colors (S, L, 3)).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        def one_segment(seg):
+            seg = seg[0]  # (L, H, W, 3) — this device's segment
+            _, (packed, bg) = jax.lax.scan(self._step, self.init_carry(),
+                                           seg)
+            return packed[None], bg[None]
+
+        fn = shard_map(one_segment, mesh=mesh,
+                       in_specs=P("data"),
+                       out_specs=(P("data"), P("data")),
+                       check_rep=False)
+        seg_sharded = jax.device_put(
+            segments, NamedSharding(mesh, P("data")))
+        return jax.jit(fn)(seg_sharded)
+
     # -- host driver ----------------------------------------------------------
     def run(self, frames, chunk_size: int = 8, host_downscale: bool = True):
         """Stream a clip through the compiled pipeline.
