@@ -64,7 +64,7 @@ class VMattingAgent:
                         jnp.where(tri_p > 0.0, 1, 0))
         tri_oh = jax.nn.one_hot(cls, 3, dtype=norm.dtype)
         pred = self.model.apply(variables, norm[None], ap_p[None, ..., None],
-                                tri_oh[None])[0, ..., 0]
+                                tri_oh[None])[0, ..., 0].astype(jnp.float32)
         pred = inv_pad_resize(pred, ori_hw)
         # keep prediction only in the unknown band (`agent.py:128-131`)
         pred = jnp.where(trimap == 0.0, 0.0, pred)

@@ -57,7 +57,8 @@ class FusedGreenPipeline:
     """Compiled green-mode runner for one clip geometry."""
 
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
-                 work_long_side: int = 960, fetch_fg: str = "auto"):
+                 work_long_side: int = 960, fetch_fg: str = "auto",
+                 matting_dtype=jnp.bfloat16):
         """`fetch_fg`: where the fg artifact materializes.
           - "device": fg computed and fetched from the device (preferred on
             PCIe-attached hosts).
@@ -78,9 +79,11 @@ class FusedGreenPipeline:
         self.cf = ColorFilteringAgent(**{
             k: v for k, v in cfg["colorfiltering"].items()
             if k != "input_long_side"}, input_long_side=work_long_side)
+        # bf16 compute on the MXU for the matting UNet (params stay f32;
+        # the alpha leaves the net in f32 via the tanh output)
         self.vmat = VMattingAgent(
             model_path=cfg["vmatting"].get("model_path"),
-            input_long_side=work_long_side)
+            input_long_side=work_long_side, dtype=matting_dtype)
         self.score_map = jnp.asarray(
             build_score_map(self.work_hw[0], self.work_hw[1], cfg))
         self.fg_exist_thr = float(cfg["fg_exist_thr"])
