@@ -281,3 +281,53 @@ class FusedGreenPipeline:
             bgs.append(bg)
         return (np.concatenate(alphas), np.concatenate(fgs),
                 np.concatenate(bgs))
+
+
+def run_fused(cfg: dict, frames=None, save: bool = True,
+              chunk_size: int = 8, work_long_side: int = 960) -> dict:
+    """Driver-compatible green-mode runner on the fused path.
+
+    Same artifacts as `pipeline/green.py` (`alphamask_/fg_/bg_*.jpg` at
+    work resolution); JPEG encode goes through the native threaded
+    runtime when available.
+    """
+    import os
+    import time
+
+    from .common import read_frames, artifact_path
+    from .. import runtime as native_runtime
+    from ..utils.fileio import save_img
+
+    data = cfg["data"]
+    if save:
+        os.makedirs(data["dst_img_dir"], exist_ok=True)
+    st = time.time()
+    frame_list = frames if frames is not None else read_frames(cfg)
+    h, w, _ = frame_list[0].shape
+    print(f"{len(frame_list)} frames. Reading Data Done! "
+          f"{time.time() - st:.2f}s")
+
+    pipe = FusedGreenPipeline(cfg, (h, w), work_long_side=work_long_side)
+    st = time.time()
+    alphas, fgs, bgs = pipe.run(frame_list, chunk_size=chunk_size)
+    elapsed = time.time() - st
+    print(f"fused green: {len(frame_list)} frames in {elapsed:.2f}s "
+          f"({len(frame_list) / elapsed:.2f} fps)")
+
+    if save:
+        dst = data["dst_img_dir"]
+        if native_runtime.available():
+            for kind, imgs in (
+                    ("alphamask", np.repeat(alphas[..., None], 3, axis=-1)),
+                    ("fg", fgs), ("bg", bgs)):
+                paths = [artifact_path(dst, kind, i)
+                         for i in range(len(frame_list))]
+                native_runtime.encode_batch(paths,
+                                            np.ascontiguousarray(imgs))
+        else:
+            for i in range(len(frame_list)):
+                save_img(artifact_path(dst, "alphamask", i), alphas[i])
+                save_img(artifact_path(dst, "fg", i), fgs[i])
+                save_img(artifact_path(dst, "bg", i), bgs[i])
+    return {"alphas": list(alphas), "numframes": len(frame_list),
+            "fps": len(frame_list) / elapsed}
