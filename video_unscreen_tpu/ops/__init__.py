@@ -19,6 +19,8 @@ from .geometry import (  # noqa: F401
     imnormalize,
     affine_warp,
     get_affine_params,
+    remove_blackborder,
+    add_blackborder,
 )
 from .color import (  # noqa: F401
     bgr2gray,
@@ -41,10 +43,14 @@ from .compositing import (  # noqa: F401
     get_fg,
     get_bg,
     get_fg_naive,
+    get_fg_with_colorremove,
+    get_mask,
+    get_fgbox,
     composite_fgbg,
     color_correct,
     exist_foreground,
 )
+from .chroma import chroma_segment, estimate_screen_color_hsv  # noqa: F401
 from .connected import (  # noqa: F401
     connected_components,
     remove_invalid_objects,
