@@ -210,10 +210,13 @@ class FusedGreenPipeline:
                                            seg)
             return packed[None], bg[None]
 
+        # check_vma off: the scan carry mixes replicated constants with
+        # data-varying values through nested conds; each device's segment
+        # is fully independent so varying-axis tracking adds nothing here.
         fn = shard_map(one_segment, mesh=mesh,
                        in_specs=P("data"),
                        out_specs=(P("data"), P("data")),
-                       check_rep=False)
+                       check_vma=False)
         seg_sharded = jax.device_put(
             segments, NamedSharding(mesh, P("data")))
         return jax.jit(fn)(seg_sharded)
