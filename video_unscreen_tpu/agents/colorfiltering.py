@@ -55,10 +55,21 @@ def _color_prior(h_channel: jax.Array, weight: jax.Array,
             & (h_channel < peak + winsize // 2))
 
 
-def _fit(img_hsv, sample_mask, params: GMMParams, active, em_iters):
-    """Fit the 3-channel GMM bank on pixels weighted by `sample_mask`."""
+def _fit(img_hsv, sample_mask, params: GMMParams, active, em_iters,
+         max_fit_samples: int = 65536):
+    """Fit the 3-channel GMM bank on pixels weighted by `sample_mask`.
+
+    Pixels are stride-subsampled to at most `max_fit_samples` — the exact
+    device analog of the reference's `samples[::step]` cap
+    (`colorfiltering/agent.py:139-141,165-167`), and an ~8x EM FLOP cut at
+    960p work resolution.
+    """
     x = img_hsv.reshape(-1, 3).T  # (3, N)
-    w = jnp.broadcast_to(sample_mask.reshape(1, -1), x.shape)
+    n = x.shape[1]
+    stride = max(n // max_fit_samples, 1)
+    x = x[:, ::stride]
+    w = jnp.broadcast_to(sample_mask.reshape(-1)[::stride][None, :],
+                         x.shape)
     return gmm_fit_em(x, w.astype(jnp.float32), params, active, em_iters)
 
 

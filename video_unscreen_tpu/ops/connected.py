@@ -136,3 +136,34 @@ def remove_invalid_objects(alpha: jax.Array, segmask: jax.Array,
     valid = valid.at[0].set(False)
     keep = valid[flat].reshape(h, w)
     return jnp.where(keep, alpha, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def remove_invalid_objects_ds(alpha: jax.Array, segmask: jax.Array,
+                              score: jax.Array,
+                              saliency_thr: float = 0.005,
+                              consensus_thr: float = 0.5,
+                              min_area: int = 100,
+                              downscale: int = 2) -> jax.Array:
+    """remove_invalid_objects with the labeling + stats at 1/downscale res.
+
+    Saliency/consensus are resolution-invariant ratios; `min_area` scales
+    by downscale^2. The keep-mask is upsampled (nearest) and applied to
+    the full-res alpha — a ~downscale^2 cut of the scatter/flood cost in
+    the fused pipelines.
+    """
+    if downscale == 1:
+        return remove_invalid_objects(alpha, segmask, score, saliency_thr,
+                                      consensus_thr, min_area)
+    from .geometry import resize
+    h, w = alpha.shape
+    lh, lw = h // downscale, w // downscale
+    alpha_lr = resize(alpha, (lh, lw), method="nearest")
+    seg_lr = resize(segmask, (lh, lw), method="nearest")
+    score_lr = resize(score, (lh, lw), method="nearest")
+    kept_lr = remove_invalid_objects(
+        alpha_lr, seg_lr, score_lr, saliency_thr, consensus_thr,
+        max(min_area // (downscale * downscale), 1))
+    keep = resize((kept_lr > 0).astype(jnp.float32), (h, w),
+                  method="nearest") > 0
+    return jnp.where(keep, alpha, 0.0)

@@ -30,7 +30,7 @@ from ..ops import morphology as morph
 from ..ops.chroma import chroma_segment
 from ..ops.color import bgr2gray, bgr2hsv, hsv2bgr
 from ..ops.compositing import get_fg
-from ..ops.connected import remove_invalid_objects
+from ..ops.connected import remove_invalid_objects_ds
 from ..ops.geometry import get_target_size, imnormalize, resize
 from ..ops.regionfill import regionfill
 from ..ops.trimap import generate_trimap
@@ -115,9 +115,9 @@ class FusedBgPipeline:
 
     def _matting_pass(self, frame, alpha_pre, mask):
         """object removal -> trimap -> matting (`bg.py:67-70,92-95`)."""
-        alphaor = remove_invalid_objects(
+        alphaor = remove_invalid_objects_ds(
             mask, mask, self.score_map, saliency_thr=self.saliency_thr,
-            consensus_thr=self.consensus_thr)
+            consensus_thr=self.consensus_thr, downscale=2)
         trimap = generate_trimap(alphaor, self.tri_kernel, self.tri_iters)
         return self.vmat.device_forward_impl(
             self.vmat.variables, frame, alpha_pre, trimap, self.work_hw)

@@ -33,7 +33,7 @@ from ..agents.vmatting import VMattingAgent
 from ..ops.chroma import chroma_segment
 from ..ops.color import hsv2bgr
 from ..ops.compositing import color_correct, get_fg
-from ..ops.connected import remove_invalid_objects
+from ..ops.connected import remove_invalid_objects_ds
 from ..ops.geometry import get_target_size, resize
 from ..ops.trimap import generate_trimap_withbg
 from ..parallel.streaming import FrameStreamer
@@ -133,12 +133,14 @@ class FusedGreenPipeline:
             refit, run_cf, run_cf_predict,
             (frame, segmask, carry.cf_state))
 
-        # 3. invalid-object removal (segmask consensus unless tracking)
+        # 3. invalid-object removal (segmask consensus unless tracking),
+        # labeled at half res — decisions are ratio-based (see
+        # remove_invalid_objects_ds)
         consensus_ref = jnp.where(carry.tracking, alphacf, segmask)
-        alphaor = remove_invalid_objects(
+        alphaor = remove_invalid_objects_ds(
             alphacf, consensus_ref, self.score_map,
             saliency_thr=self.saliency_thr,
-            consensus_thr=self.consensus_thr)
+            consensus_thr=self.consensus_thr, downscale=2)
 
         # 4. trimap + matting
         trimap = generate_trimap_withbg(
