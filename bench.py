@@ -51,7 +51,7 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--work_long_side", type=int, default=960)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
     args = parser.parse_args()
