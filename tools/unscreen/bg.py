@@ -10,10 +10,17 @@ if __name__ == "__main__":
     parser.add_argument("-vid", "--video_id", type=str, default="1")
     parser.add_argument("--range", type=str, default=None, help="eg. 400-700")
     parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--fused", action="store_true",
+                        help="run the compiled single-program pipeline")
+    parser.add_argument("--chunk", type=int, default=4)
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
     cfg = attach_data_section(cfg, args.video_id, "bg",
                               data_root=args.data_root,
                               frame_range=args.range, src_tmpl="*.jpg")
-    run_bg(cfg)
+    if args.fused:
+        from video_unscreen_tpu.pipeline.fused_bg import run_fused
+        run_fused(cfg, chunk_size=args.chunk)
+    else:
+        run_bg(cfg)

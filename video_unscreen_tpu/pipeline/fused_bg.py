@@ -204,3 +204,51 @@ class FusedBgPipeline:
         packed = np.concatenate(parts)
         return (packed[..., 0], packed[..., 1], packed[..., 2:5],
                 packed[..., 5:8])
+
+
+def run_fused(cfg: dict, frames=None, save: bool = True,
+              chunk_size: int = 4, work_long_side: int = 960,
+              use_stm_tracking: bool = True) -> dict:
+    """Driver-compatible bg-mode runner on the fused path (same artifacts
+    as `pipeline/bg.py`: segmask_/bg_/alphamask_/fg_*.jpg at work res)."""
+    import os
+    import time
+
+    from .common import read_frames, artifact_path
+    from .. import runtime as native_runtime
+    from ..utils.fileio import save_img
+
+    data = cfg["data"]
+    if save:
+        os.makedirs(data["dst_img_dir"], exist_ok=True)
+    st = time.time()
+    frame_list = frames if frames is not None else read_frames(cfg)
+    h, w, _ = frame_list[0].shape
+    print(f"{len(frame_list)} frames. Reading Data Done! "
+          f"{time.time() - st:.2f}s")
+
+    pipe = FusedBgPipeline(cfg, (h, w), work_long_side=work_long_side,
+                           use_stm_tracking=use_stm_tracking)
+    st = time.time()
+    alphas, segmasks, fgs, bgs = pipe.run(frame_list, chunk_size=chunk_size)
+    elapsed = time.time() - st
+    print(f"fused bg: {len(frame_list)} frames in {elapsed:.2f}s "
+          f"({len(frame_list) / elapsed:.2f} fps)")
+
+    if save:
+        dst = data["dst_img_dir"]
+        outputs = (("alphamask", np.repeat(alphas[..., None], 3, -1)),
+                   ("segmask", np.repeat(segmasks[..., None], 3, -1)),
+                   ("fg", fgs), ("bg", bgs))
+        if native_runtime.available():
+            for kind, imgs in outputs:
+                paths = [artifact_path(dst, kind, i)
+                         for i in range(len(frame_list))]
+                native_runtime.encode_batch(paths,
+                                            np.ascontiguousarray(imgs))
+        else:
+            for kind, imgs in outputs:
+                for i in range(len(frame_list)):
+                    save_img(artifact_path(dst, kind, i), imgs[i])
+    return {"alphas": list(alphas), "numframes": len(frame_list),
+            "fps": len(frame_list) / elapsed}
