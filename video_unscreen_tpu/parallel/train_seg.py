@@ -1,0 +1,113 @@
+"""Sharded training step + synthetic data for the binary segmenter.
+
+Gives the DeepLabV3+ SegAgent real weights (the reference's
+deeplab50_weights_v5.pth is unavailable): softmax cross-entropy on
+synthetic person-ish composites over varied backgrounds, dp+tp sharded
+like the matting step (`parallel/train.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data_synth import _random_alpha, _smooth_noise
+from .mesh import batch_sharding, param_shardings, replicate
+
+
+class SegTrainState(NamedTuple):
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+def make_seg_batch(rng: np.random.RandomState, batch: int,
+                   hw: Tuple[int, int] = (128, 128),
+                   green_screen_prob: float = 0.5) -> Dict[str, np.ndarray]:
+    """Foreground blobs over green-screen OR textured backgrounds, with
+    ImageNet-normalized RGB inputs and {0,1} labels."""
+    h, w = hw
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    imgs, labels = [], []
+    for _ in range(batch):
+        if rng.rand() < green_screen_prob:
+            bg = np.zeros((h, w, 3), np.float32)
+            # BGR greenish screen with brightness variation
+            bg[...] = (rng.uniform(0.05, 0.35), rng.uniform(0.5, 0.9),
+                       rng.uniform(0.1, 0.4))
+            bg += _smooth_noise(rng, h, w, 16) * 0.1
+        else:
+            bg = _smooth_noise(rng, h, w)
+        fg = _smooth_noise(rng, h, w, scale=4)
+        alpha = _random_alpha(rng, h, w)
+        img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
+        img += rng.randn(h, w, 3).astype(np.float32) * 0.02
+        img = img.clip(0, 1)
+        rgb = (img[..., ::-1] - mean) / std
+        imgs.append(rgb)
+        labels.append((alpha > 0.5).astype(np.int32))
+    return {"img": np.stack(imgs), "label": np.stack(labels)}
+
+
+def seg_loss(params, batch_stats, model, batch, dropout_rng):
+    logits, updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["img"], train=True, mutable=["batch_stats"],
+        rngs={"dropout": dropout_rng})
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch["label"]).mean()
+    return loss, updates["batch_stats"]
+
+
+def make_seg_train_state(model, optimizer, rng,
+                         sample_hw=(128, 128)) -> SegTrainState:
+    variables = model.init(rng, jnp.zeros((1,) + tuple(sample_hw) + (3,)))
+    return SegTrainState(params=variables["params"],
+                         batch_stats=variables["batch_stats"],
+                         opt_state=optimizer.init(variables["params"]),
+                         step=jnp.asarray(0))
+
+
+def make_seg_train_step(model, optimizer, mesh):
+    p_shard = lambda tree: param_shardings(tree, mesh)  # noqa: E731
+    b_shard = batch_sharding(mesh)
+    rep = replicate(mesh)
+
+    def step_fn(state: SegTrainState, batch):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        (loss, new_stats), grads = jax.value_and_grad(
+            seg_loss, has_aux=True)(state.params, state.batch_stats, model,
+                                    batch, dropout_rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return SegTrainState(new_params, new_stats, new_opt,
+                             state.step + 1), loss
+
+    def shard_state(state):
+        return SegTrainState(
+            params=p_shard(state.params),
+            batch_stats=jax.tree.map(lambda _: rep, state.batch_stats),
+            opt_state=jax.tree.map(lambda _: rep, state.opt_state),
+            step=rep)
+
+    compiled = None
+
+    def train_step(state, batch):
+        nonlocal compiled
+        if compiled is None:
+            compiled = jax.jit(
+                step_fn,
+                in_shardings=(shard_state(state),
+                              {k: b_shard for k in batch}),
+                out_shardings=(shard_state(state), rep))
+        return compiled(state, batch)
+
+    return train_step
