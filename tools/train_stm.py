@@ -1,0 +1,62 @@
+"""Train the STM mask-propagation net on synthetic frame pairs.
+
+  python tools/train_stm.py --steps 800 --batch 8 --size 128 \
+      --out weights/stm.msgpack
+"""
+import argparse
+import time
+
+import jax
+import numpy as np
+import optax
+
+from video_unscreen_tpu.models import STM
+from video_unscreen_tpu.parallel import make_mesh
+from video_unscreen_tpu.parallel.train_stm import (make_pair_batch,
+                                                   make_stm_train_state,
+                                                   make_stm_train_step)
+from video_unscreen_tpu.utils.checkpoint import save_variables
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=800)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--out", type=str, default="weights/stm.msgpack")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    mesh = make_mesh()
+    print(f"mesh: {dict(mesh.shape)} on {jax.default_backend()}")
+
+    # einsum attention for training (the Pallas flash kernel is
+    # forward-only)
+    model = STM(pallas_attention=False)
+    schedule = optax.cosine_decay_schedule(args.lr, args.steps)
+    optimizer = optax.adamw(schedule, weight_decay=1e-5)
+    state = make_stm_train_state(model, optimizer,
+                                 jax.random.PRNGKey(args.seed),
+                                 sample_hw=(args.size, args.size))
+    train_step = make_stm_train_step(model, optimizer, mesh)
+
+    rng = np.random.RandomState(args.seed)
+    t0 = time.time()
+    with mesh:
+        for step in range(args.steps):
+            batch = make_pair_batch(rng, args.batch,
+                                    (args.size, args.size))
+            state, loss = train_step(state, batch)
+            if step % args.log_every == 0 or step == args.steps - 1:
+                print(f"step {step:5d} loss {float(loss):.4f} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    save_variables(args.out, variables)
+    print(f"saved {args.out}")

@@ -131,8 +131,12 @@ class STM(nn.Module):
     Call modes (dispatched by `method`):
       memorize(frame, mask_fg, mask_bg) -> (k4, v4) at 1/16
       segment(frame, mem_k, mem_v, valid) -> 2-ch logits at input res
+
+    `pallas_attention`: None = auto (Pallas on TPU, einsum elsewhere);
+    set False for training (the flash kernel is forward-only — no VJP).
     """
     dtype: Any = jnp.float32
+    pallas_attention: Any = None
 
     def setup(self):
         trunk = dict(block="bottleneck", layers=(3, 4, 6), num_stages=3,
@@ -160,12 +164,18 @@ class STM(nn.Module):
         feats = self._encode(self.encoder_m, frame, extra, train)
         return self.kv_m(feats["c3"])
 
-    def segment(self, frame, mem_k, mem_v, valid, train: bool = False):
+    def segment_raw(self, frame, mem_k, mem_v, valid, train: bool = False):
+        """Decoder logits before soft aggregation (the training target —
+        the aggregation's clipped log-odds transform saturates grads)."""
         feats = self._encode(self.encoder_q, frame, None, train)
         r4, r3, r2 = feats["c3"], feats["c2"], feats["c1"]
         q_k, q_v = self.kv_q(r4)
-        m4 = memory_read(mem_k, mem_v, valid, q_k, q_v)
-        logits = self.decoder(m4, r3, r2)
+        m4 = memory_read(mem_k, mem_v, valid, q_k, q_v,
+                         use_pallas=self.pallas_attention)
+        return self.decoder(m4, r3, r2)
+
+    def segment(self, frame, mem_k, mem_v, valid, train: bool = False):
+        logits = self.segment_raw(frame, mem_k, mem_v, valid, train)
         # soft aggregation (`stm/model.py:195-202`)
         ps = jax.nn.softmax(logits, axis=-1)[..., 1]
         em_bg = jnp.clip(1.0 - ps, 1e-7, 1 - 1e-7)
