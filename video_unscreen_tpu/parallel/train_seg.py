@@ -45,7 +45,14 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             bg += _smooth_noise(rng, h, w, 16) * 0.1
         else:
             bg = _smooth_noise(rng, h, w)
-        fg = _smooth_noise(rng, h, w, scale=4)
+        if rng.rand() < 0.5:
+            # flat/near-flat subject color (clothing, skin-like regions)
+            fg = np.broadcast_to(
+                rng.uniform(0.05, 0.95, 3).astype(np.float32),
+                (h, w, 3)).copy()
+            fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
+        else:
+            fg = _smooth_noise(rng, h, w, scale=4)
         alpha = _random_alpha(rng, h, w)
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
         img += rng.randn(h, w, 3).astype(np.float32) * 0.02

@@ -37,8 +37,20 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     f1s, m1s, f2s, m2s = [], [], [], []
     for _ in range(batch):
-        bg = _smooth_noise(rng, h, w)
-        fg = _smooth_noise(rng, h, w, scale=4)
+        if rng.rand() < 0.4:
+            # flat screen-like background (the bg-mode use case)
+            bg = np.broadcast_to(
+                rng.uniform(0.05, 0.95, 3).astype(np.float32),
+                (h, w, 3)).copy()
+        else:
+            bg = _smooth_noise(rng, h, w)
+        if rng.rand() < 0.5:
+            fg = np.broadcast_to(
+                rng.uniform(0.05, 0.95, 3).astype(np.float32),
+                (h, w, 3)).copy()
+            fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
+        else:
+            fg = _smooth_noise(rng, h, w, scale=4)
         alpha1 = _random_alpha(rng, h, w)
         dx, dy = rng.randint(-6, 7, size=2)
         m = np.float32([[1, 0, dx], [0, 1, dy]])
