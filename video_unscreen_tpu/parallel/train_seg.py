@@ -57,6 +57,16 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
         img += rng.randn(h, w, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)
+        # zoom-crop augmentation: the SegAgent's sliding-window TTA feeds
+        # the net sub-views at crop scale (`binseg/agent.py:102-141`), so
+        # training must cover zoomed-in views too
+        if rng.rand() < 0.5:
+            s = rng.uniform(0.45, 0.95)
+            ch, cw = max(int(h * s), 8), max(int(w * s), 8)
+            y0 = rng.randint(0, h - ch + 1)
+            x0 = rng.randint(0, w - cw + 1)
+            img = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (w, h))
+            alpha = cv2.resize(alpha[y0:y0 + ch, x0:x0 + cw], (w, h))
         rgb = (img[..., ::-1] - mean) / std
         imgs.append(rgb)
         labels.append((alpha > 0.5).astype(np.int32))
