@@ -14,7 +14,7 @@ BG_TEST_CFG = {
     "fg_exist_thr": 0.001,
     "bg_mask": {"thr": 25, "fusion_weight": 0.1},
     "binseg": {"type": "chroma", "input_long_side": 128},
-    "stm": {"model_path": None, "input_long_side": 128,
+    "stm": {"model_path": "weights/stm.msgpack", "input_long_side": 128,
             "memory_step": 2, "memory_capacity": 4},
     "objectremoval": {
         "score_map_center": {"landscape": [0.5, 0.5],
@@ -24,7 +24,8 @@ BG_TEST_CFG = {
     },
     "trimap": {"input_long_side": 128, "kernelsize": 3, "iters": 3,
                "color_winsize": [10, 100, 180]},
-    "vmatting": {"model_path": None, "input_long_side": 128},
+    "vmatting": {"model_path": "weights/matting_unet.msgpack",
+                 "input_long_side": 128},
     "data": {"dst_img_dir": "/tmp/unscreen_bg_test_out", "range": None},
 }
 
@@ -40,8 +41,7 @@ def test_bg_mode_end_to_end():
              for alpha, gt in zip(result["alphas"], gts)]
     for alpha, gt in zip(result["alphas"], gts):
         assert alpha.shape == gt.shape
-    # frame 0 runs the full seg -> matting -> bg-difference path and must
-    # score well; later frames go through STM tracking, whose quality
-    # depends on (untrained here) weights — only a loose mean gate.
+    # frame 0 runs the full seg -> matting -> bg-difference path; later
+    # frames go through the trained STM tracking
     assert mious[0] > 0.8, mious
-    assert np.mean(mious) > 0.45, mious
+    assert np.mean(mious) > 0.75, mious
