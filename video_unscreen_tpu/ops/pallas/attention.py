@@ -115,6 +115,8 @@ def masked_memory_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((q_tile, 1), jnp.float32),
             pltpu.VMEM((q_tile, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q_p, k_p, v_p, m_p)
     return out[:lq]
