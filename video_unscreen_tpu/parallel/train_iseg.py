@@ -42,7 +42,15 @@ def make_click_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     imgs, points, labels = [], [], []
     for _ in range(batch):
-        bg = _smooth_noise(rng, h, w)
+        if rng.rand() < 0.4:
+            # flat screen-like background — flat color must not be a
+            # foreground-only cue
+            bg = np.broadcast_to(
+                rng.uniform(0.05, 0.95, 3).astype(np.float32),
+                (h, w, 3)).copy()
+            bg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.1)
+        else:
+            bg = _smooth_noise(rng, h, w)
         if rng.rand() < 0.5:
             fg = np.broadcast_to(
                 rng.uniform(0.05, 0.95, 3).astype(np.float32),
