@@ -88,3 +88,30 @@ def test_frame_streamer():
     assert chunks[0].shape == (4, 8, 8, 3)
     assert chunks[-1].shape == (2, 8, 8, 3)
     np.testing.assert_allclose(np.asarray(chunks[1])[0, 0, 0, 0], 4.0)
+
+
+def test_select_device_places_workers_on_distinct_devices(monkeypatch):
+    """`unscreen_parallel --workers N` exports UNSCREEN_DEVICE_ID=i%N per
+    worker; select_device must pin default placement to that chip
+    (reference semantics: `tools/unscreen.sh:16-17` CUDA_VISIBLE_DEVICES)."""
+    from video_unscreen_tpu.config import select_device
+
+    devices = jax.devices()
+    assert len(devices) >= 2
+    placed = []
+    for dev_id in (0, 1):
+        monkeypatch.setenv("UNSCREEN_DEVICE_ID", str(dev_id))
+        selected = select_device()
+        assert selected == devices[dev_id]
+        arr = jnp.zeros((4,)) + 1.0
+        placed.append(next(iter(arr.devices())))
+    assert placed[0] != placed[1]
+
+    # unset / out-of-range ids leave placement alone and return None
+    monkeypatch.delenv("UNSCREEN_DEVICE_ID")
+    assert select_device() is None
+    monkeypatch.setenv("UNSCREEN_DEVICE_ID", "9999")
+    assert select_device() is None
+    monkeypatch.setenv("UNSCREEN_DEVICE_ID", "not-a-device")
+    assert select_device() is None
+    jax.config.update("jax_default_device", None)

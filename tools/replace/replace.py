@@ -3,14 +3,19 @@
 import argparse
 import os.path as osp
 
+from video_unscreen_tpu.config import select_device
 from video_unscreen_tpu.pipeline import run_replace
 
 if __name__ == "__main__":
+    select_device()
     parser = argparse.ArgumentParser()
     parser.add_argument("--src", type=str, default="test5")
     parser.add_argument("--tgt", type=str, default=None)
     parser.add_argument("--data_root", type=str,
                         default="./data/replace/edn")
+    parser.add_argument("--harmonize", action="store_true",
+                        help="apply foreground Lab toning + background "
+                             "blurring before the composite")
     args = parser.parse_args()
 
     data_root = args.data_root

@@ -1,10 +1,12 @@
 """bg mode CLI — same surface as the reference `tools/unscreen/bg.py`."""
 import argparse
 
-from video_unscreen_tpu.config import attach_data_section, load_config
+from video_unscreen_tpu.config import (attach_data_section, load_config,
+                                        select_device)
 from video_unscreen_tpu.pipeline import run_bg
 
 if __name__ == "__main__":
+    select_device()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, default="./configs/bg.json")
     parser.add_argument("-vid", "--video_id", type=str, default="1")

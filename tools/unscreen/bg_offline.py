@@ -3,10 +3,12 @@
 reference's `if 0/if 1` source edits."""
 import argparse
 
-from video_unscreen_tpu.config import attach_data_section, load_config
+from video_unscreen_tpu.config import (attach_data_section, load_config,
+                                        select_device)
 from video_unscreen_tpu.pipeline import run_bg_offline
 
 if __name__ == "__main__":
+    select_device()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, default="./configs/bg.json")
     parser.add_argument("-vid", "--video_id", type=str, default="1")

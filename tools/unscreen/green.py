@@ -2,10 +2,12 @@
 `tools/unscreen/green.py:143-161` plus a `--data_root` override."""
 import argparse
 
-from video_unscreen_tpu.config import attach_data_section, load_config
+from video_unscreen_tpu.config import (attach_data_section, load_config,
+                                        select_device)
 from video_unscreen_tpu.pipeline import run_green
 
 if __name__ == "__main__":
+    select_device()
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, default="./configs/green.json")
     parser.add_argument("-vid", "--video_id", type=str, default="1")

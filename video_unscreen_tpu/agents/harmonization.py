@@ -79,6 +79,12 @@ class HarmonizationAgent:
         return resize(small, ori_hw)
 
     # -- host API -----------------------------------------------------------
+    def blur_work_hw(self, h: int, w: int,
+                     target_long_side: int = 480) -> Tuple[int, int]:
+        """Reduced blur resolution (`agent.py:96-100` work geometry) — for
+        callers composing `device_smooth` into larger device programs."""
+        return get_target_size(h, w, target_long_side)
+
     def get_means(self, img, mask=None, target_long_side=240):
         h, w = img.shape[:2]
         th, tw = get_target_size(h, w, target_long_side)

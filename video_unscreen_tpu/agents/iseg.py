@@ -162,6 +162,19 @@ class ISegAgent:
         Mirrors `iseg/agent.py:92-119`: pad_resize to input_long_side,
         clicks scaled by the resize ratio, sigmoid+TTA, threshold.
         """
+        probs = self.predict_probs(img, click_history)
+        return (probs > self.prob_thresh).astype(np.uint8) * 255
+
+    def predict_probs(self, img: np.ndarray, click_history,
+                      use_brs: Optional[bool] = None) -> np.ndarray:
+        """Foreground probabilities at the input resolution.
+
+        `use_brs` overrides the agent's `with_brs` — lets callers compare
+        the plain and BRS predictions on identical preprocessing (the
+        click-satisfaction contract of `brs/brs_optimizer.py:97-105`).
+        """
+        if use_brs is None:
+            use_brs = self.with_brs
         ori_hw = img.shape[:2]
         input_hw = get_target_size(*ori_hw, self.input_long_side)
         # resize ratio of pad_resize (imgprocess.py:83-94)
@@ -188,7 +201,7 @@ class ISegAgent:
             batch = norm[None]
             points = jnp.asarray(pts)[None]
 
-        if self.with_brs and len(click_history) > 0:
+        if use_brs and len(click_history) > 0:
             pos_map, neg_map = clicker.get_clicks_maps()
             probs = self.device_predict_brs(
                 self.variables, batch, input_hw, points,
@@ -196,5 +209,4 @@ class ISegAgent:
         else:
             probs = self.device_predict(self.variables, batch, input_hw,
                                         points)
-        pred = inv_pad_resize(probs, ori_hw)
-        return (np.asarray(pred) > self.prob_thresh).astype(np.uint8) * 255
+        return np.asarray(inv_pad_resize(probs, ori_hw))

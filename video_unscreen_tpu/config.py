@@ -21,6 +21,31 @@ def load_config(path: str) -> dict:
         return json.load(f)
 
 
+def select_device(device_id: Optional[int] = None):
+    """Pin this process's default JAX device from `UNSCREEN_DEVICE_ID`.
+
+    The reference launcher exports `CUDA_VISIBLE_DEVICES` per worker
+    (`tools/unscreen.sh:16-17`); `tools/unscreen.sh` here exports
+    `UNSCREEN_DEVICE_ID` and `tools/unscreen_parallel.py` assigns video i
+    to device i % workers — this is the consumer that makes that fan-out
+    real on a multi-chip host. Returns the selected device (or None when
+    unset/out of range, leaving JAX's default placement).
+    """
+    import jax
+
+    if device_id is None:
+        raw = os.environ.get("UNSCREEN_DEVICE_ID")
+        if raw is None or not raw.strip().lstrip("-").isdigit():
+            return None
+        device_id = int(raw)
+    devices = jax.devices()
+    if not 0 <= device_id < len(devices):
+        return None
+    device = devices[device_id]
+    jax.config.update("jax_default_device", device)
+    return device
+
+
 def default_data_root() -> str:
     return os.environ.get("UNSCREEN_DATA_ROOT", "./data")
 

@@ -5,6 +5,12 @@ offset between source and target clips, shift + rescale of the target
 fg/mask, alpha composite onto the source background, `res_/compare_*`
 artifacts and a comparison video. The per-frame shift/rescale/composite is
 one jitted device program; centroids are masked moment sums on device.
+
+With `--harmonize`, the HarmonizationAgent runs before the composite —
+foreground Lab toning toward the background plus background blurring
+(`unscreen/harmonization/agent.py:39-113`), the "matting + harmonization
++ composite" person-replacement recipe. All stages stay device-resident
+between the jitted calls.
 """
 
 from __future__ import annotations
@@ -100,6 +106,11 @@ def run(args) -> None:
     print("Correspondence mean: ", dx, dy)
     shift = jnp.asarray([dx, dy], jnp.float32)
 
+    harmonize = bool(getattr(args, "harmonize", False))
+    if harmonize:
+        from ..agents.harmonization import HarmonizationAgent
+        harm = HarmonizationAgent()
+
     src_bg = cv2.imread(args.src_bg_image)
     for fid in range(numframes):
         dst_fg = cv2.imread(osp.join(args.tgt_data_dir,
@@ -113,9 +124,16 @@ def run(args) -> None:
             else np.zeros_like(dst_fg)
         bg = cv2.resize(src_bg, hw)
 
-        res = _compose(jnp.asarray(dst_fg, jnp.float32),
-                       jnp.asarray(dst_mask, jnp.float32),
-                       jnp.asarray(bg, jnp.float32), shift, 1.2)
+        fg_d = jnp.asarray(dst_fg, jnp.float32)
+        bg_d = jnp.asarray(bg, jnp.float32)
+        if harmonize:
+            alpha_gray = jnp.asarray(
+                cv2.cvtColor(dst_mask, cv2.COLOR_BGR2GRAY), jnp.float32)
+            fg_d = harm.device_foreground_toning(fg_d, bg_d, alpha_gray)
+            work = tuple(harm.blur_work_hw(bg.shape[0], bg.shape[1]))
+            bg_d = harm.device_smooth(bg_d, 3, 3, work)
+        res = _compose(fg_d, jnp.asarray(dst_mask, jnp.float32),
+                       bg_d, shift, 1.2)
         res = np.asarray(res).astype(np.uint8)
         cv2.imwrite(osp.join(args.dst_data_dir, f"res_{fid:06d}.jpg"), res)
         cv2.imwrite(osp.join(args.dst_data_dir, f"compare_{fid:06d}.jpg"),
