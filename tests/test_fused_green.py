@@ -27,6 +27,30 @@ def test_fused_green_quality():
     assert np.mean(mious) > 0.75, mious
 
 
+def test_fused_green_neural_seg():
+    """Non-tracking frames run the trained DeepLab TTA forward inside the
+    scan (VERDICT round-1 item 2; reference `tools/unscreen/green.py:74-80`
+    always seeds with SegAgent)."""
+    frames, gts = make_clip(n=4)
+    h, w = frames[0].shape[:2]
+    cfg = dict(TEST_CFG)
+    cfg["binseg"] = {"type": "deeplab",
+                     "model_path": "weights/deeplab_binseg.msgpack",
+                     "input_long_side": 128, "crop_h": 128, "crop_w": 128,
+                     "stride_ratio": 0.5, "flip": True}
+    pipe = FusedGreenPipeline(cfg, (h, w), work_long_side=128)
+    assert pipe.seg is not None  # the neural path is actually wired
+    alphas, _, _ = pipe.run(frames, chunk_size=2)
+    from video_unscreen_tpu.ops.geometry import resize
+    mious = []
+    for i, gt in enumerate(gts):
+        gt_small = np.asarray(resize(jnp.asarray(gt, jnp.float32),
+                                     alphas[i].shape))
+        mious.append(float(M.miou(jnp.asarray(gt_small),
+                                  jnp.asarray(alphas[i], jnp.float32))))
+    assert np.mean(mious) > 0.75, mious
+
+
 def test_fused_green_tail_padding():
     frames, _ = make_clip(n=5)
     h, w = frames[0].shape[:2]

@@ -93,6 +93,38 @@ class SegAgent:
                 float(self.input_long_side) * h / w)
         return max(th, self.crop_h), max(tw, self.crop_w)
 
+    def _tta_scores(self, variables, norm: jax.Array,
+                    locs: Tuple[Tuple[int, int, bool], ...],
+                    crop_h: int, crop_w: int) -> jax.Array:
+        """Grid+flip TTA score map over a normalized image (unjitted;
+        traceable inside fused scans). Mirrors `binseg/agent.py:143-174`:
+        batched crop forward, softmax, overlap scatter-add with count
+        normalization."""
+        target_hw = norm.shape[:2]
+        crops = []
+        for (s_h, s_w, flipped) in locs:
+            c = jax.lax.slice(norm, (s_h, s_w, 0),
+                              (s_h + crop_h, s_w + crop_w, 3))
+            crops.append(c[:, ::-1] if flipped else c)
+        batch = jnp.stack(crops)  # (N, crop_h, crop_w, 3)
+        logits = self.model.apply(variables, batch)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # overlap ensemble with count normalization (`agent.py:143-174`)
+        acc = jnp.zeros(target_hw + (2,), jnp.float32)
+        cnt = jnp.zeros(target_hw + (1,), jnp.float32)
+        ones = jnp.ones((crop_h, crop_w, 1), jnp.float32)
+        for i, (s_h, s_w, flipped) in enumerate(locs):
+            p = probs[i][:, ::-1] if flipped else probs[i]
+            acc = jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(
+                    acc, (s_h, s_w, 0), (crop_h, crop_w, 2)) + p,
+                (s_h, s_w, 0))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(
+                    cnt, (s_h, s_w, 0), (crop_h, crop_w, 1)) + ones,
+                (s_h, s_w, 0))
+        return acc / jnp.maximum(cnt, 1.0)
+
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def device_forward(self, variables, img: jax.Array,
                        target_hw: Tuple[int, int],
@@ -101,30 +133,22 @@ class SegAgent:
         ori_hw = img.shape[:2]
         padded = pad_resize(img, target_hw)
         norm = imnormalize(padded)
-        crops = []
-        for (s_h, s_w, flipped) in locs:
-            c = jax.lax.slice(norm, (s_h, s_w, 0),
-                              (s_h + self.crop_h, s_w + self.crop_w, 3))
-            crops.append(c[:, ::-1] if flipped else c)
-        batch = jnp.stack(crops)  # (N, crop_h, crop_w, 3)
-        logits = self.model.apply(variables, batch)
-        probs = jax.nn.softmax(logits, axis=-1)
-        # overlap ensemble with count normalization (`agent.py:143-174`)
-        acc = jnp.zeros(target_hw + (2,), jnp.float32)
-        cnt = jnp.zeros(target_hw + (1,), jnp.float32)
-        ones = jnp.ones((self.crop_h, self.crop_w, 1), jnp.float32)
-        for i, (s_h, s_w, flipped) in enumerate(locs):
-            p = probs[i][:, ::-1] if flipped else probs[i]
-            acc = jax.lax.dynamic_update_slice(
-                acc, jax.lax.dynamic_slice(
-                    acc, (s_h, s_w, 0), (self.crop_h, self.crop_w, 2)) + p,
-                (s_h, s_w, 0))
-            cnt = jax.lax.dynamic_update_slice(
-                cnt, jax.lax.dynamic_slice(
-                    cnt, (s_h, s_w, 0), (self.crop_h, self.crop_w, 1)) + ones,
-                (s_h, s_w, 0))
-        score = acc / jnp.maximum(cnt, 1.0)
+        score = self._tta_scores(variables, norm, locs,
+                                 self.crop_h, self.crop_w)
         score = inv_pad_resize(score, ori_hw)
+        return jnp.argmax(score, axis=-1).astype(jnp.float32) * 255.0
+
+    def predict_mask_impl(self, variables, frame: jax.Array) -> jax.Array:
+        """Whole-frame mask at the frame's own (work) resolution, unjitted
+        — the fused pipelines call this under the non-tracking `lax.cond`
+        branch (reference `tools/unscreen/green.py:74-80`). The crop grid
+        is clamped to the frame dims, so the shipped whole-image config
+        degenerates to whole-image + flip TTA."""
+        h, w = frame.shape[:2]
+        crop_h, crop_w = min(self.crop_h, h), min(self.crop_w, w)
+        locs = _crop_grid(h, w, crop_h, crop_w, self.stride_ratio, self.flip)
+        norm = imnormalize(frame)
+        score = self._tta_scores(variables, norm, locs, crop_h, crop_w)
         return jnp.argmax(score, axis=-1).astype(jnp.float32) * 255.0
 
     def forward(self, img: np.ndarray) -> np.ndarray:
@@ -230,16 +254,31 @@ class HumanSegAgent:
                        np.float32)
         return fwd, inv
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def device_forward(self, variables, img: jax.Array, fwd: jax.Array,
-                       ori_hw: Tuple[int, int], inv: jax.Array) -> jax.Array:
+    def _forward_core(self, variables, img: jax.Array, fwd: jax.Array,
+                      ori_hw: Tuple[int, int], inv: jax.Array) -> jax.Array:
         warped = affine_warp(img, fwd, self.input_size)
         norm = imnormalize(warped)
         logits = self.model.apply(variables, norm[None])[0]
+        logits = logits.astype(jnp.float32)
         logits = resize(logits, self.input_size)  # upsample 1/4 -> input
         back = affine_warp(logits, inv, ori_hw)  # per-channel inverse warp
         pred = jnp.argmax(back, axis=-1)
         return (pred > 0).astype(jnp.float32) * 255.0
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def device_forward(self, variables, img: jax.Array, fwd: jax.Array,
+                       ori_hw: Tuple[int, int], inv: jax.Array) -> jax.Array:
+        return self._forward_core(variables, img, fwd, ori_hw, inv)
+
+    def predict_mask_impl(self, variables, frame: jax.Array) -> jax.Array:
+        """Whole-frame person mask at the frame's own resolution, unjitted
+        — the fused bg pipeline's seed segmenter (reference
+        `tools/unscreen/bg.py:56` calling `agent_human.py:262-305`). The
+        affine matrices are trace-time constants of the work geometry."""
+        h, w = frame.shape[:2]
+        fwd, inv = self._transforms(h, w)
+        return self._forward_core(variables, frame, jnp.asarray(fwd),
+                                  (h, w), jnp.asarray(inv))
 
     def forward(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]

@@ -59,16 +59,22 @@ class PSPModule(nn.Module):
 
 
 def _adaptive_avg_pool(x, size: int):
-    """Exact adaptive average pooling to (size, size) bins."""
+    """Exact adaptive average pooling to (size, size) bins.
+
+    PyTorch bin semantics — start = floor(i*h/size), end = ceil((i+1)*h/
+    size) — so every bin covers >= 1 pixel even when the feature map is
+    smaller than `size` (empty bins would mean() to NaN)."""
+    import math
     n, h, w, c = x.shape
-    # split into `size` nearly-equal bins along each axis via cumulative sums
-    ys = [int(round(i * h / size)) for i in range(size + 1)]
-    xs = [int(round(i * w / size)) for i in range(size + 1)]
+    ys = [(math.floor(i * h / size), math.ceil((i + 1) * h / size))
+          for i in range(size)]
+    xs = [(math.floor(j * w / size), math.ceil((j + 1) * w / size))
+          for j in range(size)]
     rows = []
-    for i in range(size):
+    for y0, y1 in ys:
         cols = []
-        for j in range(size):
-            cols.append(x[:, ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean((1, 2)))
+        for x0, x1 in xs:
+            cols.append(x[:, y0:y1, x0:x1].mean((1, 2)))
         rows.append(jnp.stack(cols, axis=1))
     return jnp.stack(rows, axis=1)  # (n, size, size, c)
 

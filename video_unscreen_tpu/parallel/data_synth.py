@@ -35,6 +35,205 @@ def _random_alpha(rng, h, w):
     return cv2.GaussianBlur(alpha, (k, k), 0).clip(0, 1)
 
 
+# LIP part classes used by the synthetic person generator (subset of the
+# 20 SCHP-LIP classes, `unscreen/binseg/human_parse.py` head): any class
+# > 0 is "person" for the HumanSegAgent's argmax>0 binarization
+# (`unscreen/binseg/agent_human.py:304-305`).
+LIP_HAIR, LIP_UPPER, LIP_PANTS, LIP_FACE = 2, 5, 9, 13
+LIP_ARM_L, LIP_ARM_R, LIP_LEG_L, LIP_LEG_R = 14, 15, 16, 17
+LIP_SHOE_L, LIP_SHOE_R = 18, 19
+
+
+def draw_person(rng: np.random.RandomState, h: int, w: int,
+                scale: float = None, phase: float = None,
+                cx_frac: float = None, hair_strands: bool = False,
+                avoid_green: bool = False):
+    """Articulated person-shaped figure with LIP part labels.
+
+    Returns (img (h,w,3) float32 BGR 0..1, parts (h,w) int32 LIP classes).
+    Head+hair, torso, two arms, pants+lower legs, shoes — each part its
+    own class and color, slight pose jitter, so the parser learns person
+    shape rather than a single blob.
+
+    `phase` (radians) drives a deterministic walking swing of the limbs
+    (for temporally coherent clips); `cx_frac` pins the horizontal body
+    center; `hair_strands` adds thin polyline hair wisps off the head cap
+    (rendered hi-res + downsampled by the eval-clip makers, these become
+    the soft sub-pixel boundaries matting metrics care about).
+    """
+    parts = np.zeros((h, w), np.int32)
+    s = (scale if scale is not None
+         else rng.uniform(0.35, 0.9)) * h  # body height in px
+    cx = (cx_frac if cx_frac is not None
+          else rng.uniform(0.25, 0.75)) * w
+    y0 = rng.uniform(0.02, max(0.04, 0.95 - s / h)) * h
+    lean = rng.uniform(-0.08, 0.08)  # whole-body lean
+    swing = 0.0 if phase is None else float(np.sin(phase))
+
+    def pt(dx, dy):
+        """Body-frame point: dx in body widths, dy in body heights."""
+        return (int(cx + (dx + lean * dy) * s), int(y0 + dy * s))
+
+    th = max(int(0.055 * s), 2)  # limb thickness
+    hip_y, knee_y, foot_y = 0.55, 0.78, 0.97
+    spread = rng.uniform(0.04, 0.12)
+    for side, leg_cls, shoe_cls in ((-1, LIP_LEG_L, LIP_SHOE_L),
+                                    (1, LIP_LEG_R, LIP_SHOE_R)):
+        sp = side * spread + 0.08 * swing * side
+        hip = pt(side * 0.05, hip_y)
+        knee = pt(sp, knee_y)
+        foot = pt(sp * rng.uniform(0.9, 1.6), foot_y)
+        cv2.line(parts, hip, knee, LIP_PANTS, th)          # thigh = pants
+        cv2.line(parts, knee, foot, int(leg_cls), th)      # lower leg
+        cv2.ellipse(parts, foot, (max(int(0.06 * s), 2),
+                                  max(int(0.03 * s), 1)),
+                    0, 0, 360, int(shoe_cls), -1)
+    # torso (upper clothes) over the hip area
+    cv2.ellipse(parts, pt(0, 0.38), (max(int(0.14 * s), 3),
+                                     max(int(0.19 * s), 4)),
+                int(lean * 60), 0, 360, LIP_UPPER, -1)
+    # arms from the shoulders: walking counter-swing or random pose
+    for side, arm_cls in ((-1, LIP_ARM_L), (1, LIP_ARM_R)):
+        sw = -0.06 * swing * side
+        sh = pt(side * 0.12, 0.24)
+        elbow = pt(side * rng.uniform(0.14, 0.24) + sw, 0.38)
+        hand = pt(side * rng.uniform(0.08, 0.3) + 2 * sw,
+                  rng.uniform(0.46, 0.56))
+        cv2.line(parts, sh, elbow, int(arm_cls), max(int(0.04 * s), 2))
+        cv2.line(parts, elbow, hand, int(arm_cls), max(int(0.04 * s), 2))
+    # head: face circle with a hair cap
+    head_c = pt(rng.uniform(-0.02, 0.02), 0.10)
+    hr = max(int(0.085 * s), 3)
+    cv2.circle(parts, head_c, hr, LIP_FACE, -1)
+    cv2.ellipse(parts, (head_c[0], head_c[1] - int(0.35 * hr)),
+                (int(1.05 * hr), hr), 0, 180, 360, LIP_HAIR, -1)
+    if hair_strands:
+        # thin wisps off the cap — sub-pixel soft edges after downsample
+        for _ in range(rng.randint(10, 22)):
+            ang = rng.uniform(-2.6, -0.5)  # upward-ish fan
+            x0 = head_c[0] + int(np.cos(ang) * hr * 0.9)
+            y0s = head_c[1] + int(np.sin(ang) * hr * 0.9)
+            pts = [(x0, y0s)]
+            vx, vy = np.cos(ang), np.sin(ang)
+            for _seg in range(3):
+                vx += rng.uniform(-0.4, 0.4)
+                vy += rng.uniform(-0.2, 0.4)  # droop
+                step = rng.uniform(0.2, 0.55) * hr
+                pts.append((int(pts[-1][0] + vx * step),
+                            int(pts[-1][1] + vy * step)))
+            cv2.polylines(parts, [np.asarray(pts, np.int32)], False,
+                          LIP_HAIR, max(int(0.012 * s), 1))
+
+    # paint: per-part base color x smooth texture
+    img = np.zeros((h, w, 3), np.float32)
+    skin = rng.uniform(0.35, 0.85, 3).astype(np.float32)
+    colors = {
+        LIP_HAIR: rng.uniform(0.02, 0.35, 3),
+        LIP_FACE: skin, LIP_ARM_L: skin, LIP_ARM_R: skin,
+        LIP_UPPER: rng.uniform(0.05, 0.95, 3),
+        LIP_PANTS: rng.uniform(0.05, 0.8, 3),
+        LIP_LEG_L: None, LIP_LEG_R: None,   # pants color or skin
+        LIP_SHOE_L: rng.uniform(0.02, 0.5, 3),
+        LIP_SHOE_R: None,
+    }
+    colors[LIP_SHOE_R] = colors[LIP_SHOE_L]
+    if avoid_green:  # green-screen clips: clothing must not key out
+        for cls in (LIP_UPPER, LIP_PANTS):
+            c = np.asarray(colors[cls], np.float32)
+            if c[1] >= c.max() - 0.05:  # BGR: green-dominant
+                c[1] = c.min() * 0.8
+            colors[cls] = c
+    leg = skin if rng.rand() < 0.5 else colors[LIP_PANTS]
+    colors[LIP_LEG_L] = colors[LIP_LEG_R] = leg
+    tex = 0.85 + 0.3 * _smooth_noise(rng, h, w, 8)
+    for cls, col in colors.items():
+        sel = parts == cls
+        img[sel] = np.asarray(col, np.float32)
+    img = (img * tex).clip(0, 1)
+    return img, parts
+
+
+def make_nongreen_clip(n=5, h=96, w=128, seed=0, person_scale=0.7):
+    """Synthetic non-green clip: a walking person over a textured natural
+    background (the bg-mode workload — reference `tools/unscreen/bg.py`).
+
+    Returns (frames uint8 BGR list, gt alpha uint8 list, parts list)."""
+    rng = np.random.RandomState(seed)
+    bg = (_smooth_noise(rng, h, w, scale=max(h // 6, 1)) * 0.85
+          + _smooth_noise(rng, h, w, scale=max(h // 24, 1)) * 0.15)
+    # lighting gradient so the background is not statistically flat
+    gy = np.linspace(0.75, 1.15, h, dtype=np.float32)[:, None, None]
+    bg = (bg * gy).clip(0, 1)
+    frames, gts, parts_list = [], [], []
+    state = rng.get_state()
+    for t in range(n):
+        rng.set_state(state)  # same person geometry each frame...
+        person, parts = draw_person(rng, h, w, scale=person_scale)
+        shift = int(round(2.0 * t))  # ...translated across frames
+        person = np.roll(person, shift, axis=1)
+        parts = np.roll(parts, shift, axis=1)
+        alpha = (parts > 0).astype(np.float32)
+        img = alpha[..., None] * person + (1 - alpha[..., None]) * bg
+        img = img + np.random.RandomState(seed + 100 + t).randn(
+            h, w, 3).astype(np.float32) * 0.015
+        frames.append((img.clip(0, 1) * 255).astype(np.uint8))
+        gts.append((alpha * 255).astype(np.uint8))
+        parts_list.append(parts)
+    return frames, gts, parts_list
+
+
+def render_soft_person(rng: np.random.RandomState, h: int, w: int,
+                       ss: int = 4, **kw):
+    """Person rendered at `ss`x resolution and area-downsampled: the hard
+    part labels become a soft continuous alpha with sub-pixel hair-wisp
+    boundaries (what SAD/GRAD/CONN actually measure)."""
+    img_hi, parts_hi = draw_person(rng, h * ss, w * ss,
+                                   hair_strands=True, **kw)
+    alpha_hi = (parts_hi > 0).astype(np.float32)
+    img = cv2.resize(img_hi, (w, h), interpolation=cv2.INTER_AREA)
+    alpha = cv2.resize(alpha_hi, (w, h), interpolation=cv2.INTER_AREA)
+    return img, alpha
+
+
+def make_eval_clip(kind: str = "green", n: int = 12, h: int = 288,
+                   w: int = 512, seed: int = 0, ss: int = 4):
+    """Eval-protocol clip (VERDICT round-1 item 4): a walking person with
+    soft hair-wisp boundaries and limb motion over a gradient-lit green
+    screen ("green") or textured natural background ("natural").
+
+    Returns (frames uint8 BGR list, GT soft alphas uint8 list).
+    """
+    rng = np.random.RandomState(seed)
+    gy = np.linspace(rng.uniform(0.75, 0.95), rng.uniform(1.0, 1.2), h,
+                     dtype=np.float32)[:, None, None]
+    if kind == "green":
+        bg = np.zeros((h, w, 3), np.float32)
+        bg[...] = (rng.uniform(0.1, 0.3), rng.uniform(0.55, 0.8),
+                   rng.uniform(0.15, 0.35))
+        bg += _smooth_noise(rng, h, w, 16) * 0.08
+    else:
+        # two-octave texture: coarse structure + mild fine detail
+        bg = (_smooth_noise(rng, h, w, scale=max(h // 6, 1)) * 0.85
+              + _smooth_noise(rng, h, w, scale=max(h // 24, 1)) * 0.15)
+    bg = (bg * gy).clip(0, 1)
+    scale = rng.uniform(0.55, 0.8)
+    state = rng.get_state()
+    frames, gts = [], []
+    for t in range(n):
+        rng.set_state(state)  # same body geometry, varying pose/position
+        cxf = 0.32 + 0.36 * t / max(n - 1, 1)
+        img, alpha = render_soft_person(rng, h, w, ss=ss, scale=scale,
+                                        phase=2.0 * np.pi * t / 8.0,
+                                        cx_frac=cxf,
+                                        avoid_green=(kind == "green"))
+        comp = alpha[..., None] * img + (1 - alpha[..., None]) * bg
+        comp = comp + np.random.RandomState(seed + 500 + t).randn(
+            h, w, 3).astype(np.float32) * 0.01
+        frames.append((comp.clip(0, 1) * 255).astype(np.uint8))
+        gts.append((alpha * 255).astype(np.uint8))
+    return frames, gts
+
+
 def make_batch(rng: np.random.RandomState, batch: int,
                hw: Tuple[int, int] = (128, 128),
                imagenet_norm: bool = True) -> Dict[str, np.ndarray]:

@@ -45,23 +45,32 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             bg += _smooth_noise(rng, h, w, 16) * 0.1
         else:
             bg = _smooth_noise(rng, h, w)
-        if rng.rand() < 0.5:
+        kind = rng.rand()
+        if kind < 0.5:
+            # articulated person figure (the eval-set foreground)
+            from .data_synth import draw_person
+            fg, parts = draw_person(rng, h, w)
+            alpha = (parts > 0).astype(np.float32)
+        elif kind < 0.75:
             # flat/near-flat subject color (clothing, skin-like regions)
             fg = np.broadcast_to(
                 rng.uniform(0.05, 0.95, 3).astype(np.float32),
                 (h, w, 3)).copy()
             fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
+            alpha = _random_alpha(rng, h, w)
         else:
             fg = _smooth_noise(rng, h, w, scale=4)
-        alpha = _random_alpha(rng, h, w)
+            alpha = _random_alpha(rng, h, w)
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
         img += rng.randn(h, w, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)
         # zoom-crop augmentation: the SegAgent's sliding-window TTA feeds
         # the net sub-views at crop scale (`binseg/agent.py:102-141`), so
-        # training must cover zoomed-in views too
-        if rng.rand() < 0.5:
-            s = rng.uniform(0.45, 0.95)
+        # training must cover zoomed-in and off-subject views too —
+        # including crops where the subject is partly or fully absent
+        # (grid corners), the failure mode of the round-1 weights
+        if rng.rand() < 0.6:
+            s = rng.uniform(0.35, 0.95)
             ch, cw = max(int(h * s), 8), max(int(w * s), 8)
             y0 = rng.randint(0, h - ch + 1)
             x0 = rng.randint(0, w - cw + 1)

@@ -27,7 +27,6 @@ import numpy as np
 from ..agents.stm import STMAgent
 from ..agents.vmatting import VMattingAgent
 from ..ops import morphology as morph
-from ..ops.chroma import chroma_segment
 from ..ops.color import bgr2gray, bgr2hsv, hsv2bgr
 from ..ops.compositing import get_fg
 from ..ops.connected import remove_invalid_objects_ds
@@ -36,7 +35,7 @@ from ..ops.regionfill import regionfill
 from ..ops.trimap import generate_trimap
 from ..parallel.streaming import FrameStreamer
 from .common import build_score_map
-from .fused_green import _canon
+from .fused_green import _build_seed_segmenter, _canon, seed_mask
 
 
 class BgCarry(NamedTuple):
@@ -51,7 +50,8 @@ class FusedBgPipeline:
 
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, use_stm_tracking: bool = True,
-                 matting_dtype=jnp.bfloat16, stm_dtype=jnp.bfloat16):
+                 matting_dtype=jnp.bfloat16, stm_dtype=jnp.bfloat16,
+                 seg_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.ori_hw = tuple(frame_hw)
         # one work resolution, divisible by 32 (matting) and 16 (STM)
@@ -65,6 +65,9 @@ class FusedBgPipeline:
             self.stm = STMAgent(model_path=cfg["stm"].get("model_path"),
                                 input_long_side=work_long_side,
                                 dtype=stm_dtype)
+        # seed segmenter for non-tracking frames (reference bg mode runs
+        # the SCHP HumanSegAgent there, `tools/unscreen/bg.py:56`)
+        self.seg = _build_seed_segmenter(cfg.get("binseg", {}), seg_dtype)
         self.score_map = jnp.asarray(
             build_score_map(self.work_hw[0], self.work_hw[1], cfg))
         self.fg_exist_thr = float(cfg["fg_exist_thr"])
@@ -86,11 +89,14 @@ class FusedBgPipeline:
     # -- sub-stages ----------------------------------------------------------
     def _segment(self, carry: BgCarry, frame, norm):
         """STM tracking when a subject was present, else the seed
-        segmenter (`bg.py:49-56`)."""
-        chroma_mask, _ = chroma_segment(frame)
+        segmenter — SCHP/DeepLab per the binseg config, chroma as the
+        weights-free fallback (`bg.py:49-56`)."""
         if not self.use_stm:
-            return jnp.where(carry.tracking & (carry.fid > 0),
-                             carry.alpha_pre, chroma_mask)
+            return jax.lax.cond(
+                carry.tracking & (carry.fid > 0),
+                lambda op: op[0],
+                lambda op: seed_mask(self.seg, op[1]),
+                (carry.alpha_pre, frame))
 
         def stm_branch(args):
             norm_, carry_ = args
@@ -107,7 +113,7 @@ class FusedBgPipeline:
             return pred * 255.0
 
         def seed_branch(args):
-            return chroma_mask
+            return seed_mask(self.seg, frame)
 
         use_track = carry.tracking & (carry.fid > 0)
         return jax.lax.cond(use_track, stm_branch, seed_branch,

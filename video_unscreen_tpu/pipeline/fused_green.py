@@ -8,7 +8,8 @@ the GMM state, and the alpha recurrence device-resident:
 
     host:   decode -> FrameStreamer (double-buffered device_put)
     device: lax.scan over frames of
-              chroma-seg -> color-filter (cond: refit / predict) ->
+              seg (tracking shortcut | DeepLab TTA | chroma seed) ->
+              color-filter (cond: refit / predict) ->
               object removal -> trimap -> matting UNet -> color-correct ->
               fg un-blend
     host:   fetch uint8 artifacts per chunk
@@ -28,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..agents.binseg import HumanSegAgent, SegAgent
 from ..agents.colorfiltering import CFState, ColorFilteringAgent
 from ..agents.vmatting import VMattingAgent
 from ..ops.chroma import chroma_segment
@@ -53,12 +55,40 @@ def _canon(tree):
         lambda x: jax.lax.convert_element_type(x, x.dtype), tree)
 
 
+def _build_seed_segmenter(cfg_binseg: dict, dtype):
+    """Seed-segmenter dispatch for the fused pipelines.
+
+    Returns None for the weights-free chroma seed; otherwise a
+    SegAgent/HumanSegAgent whose `predict_mask_impl` runs inside the scan's
+    non-tracking branch. `type` defaults to "deeplab" when a model_path is
+    configured (the reference green mode always runs SegAgent) and
+    "chroma" otherwise.
+    """
+    kw = dict(cfg_binseg)
+    kind = kw.pop("type", None)
+    if kind is None:
+        kind = "deeplab" if kw.get("model_path") else "chroma"
+    if kind == "chroma":
+        return None
+    kw.setdefault("dtype", dtype)
+    if kind == "human":
+        return HumanSegAgent(**kw)
+    return SegAgent(**kw)
+
+
+def seed_mask(seg, frame: jax.Array) -> jax.Array:
+    """Non-tracking seed mask: neural segmenter or chroma prior."""
+    if seg is None:
+        return chroma_segment(frame)[0]
+    return seg.predict_mask_impl(seg.variables, frame)
+
+
 class FusedGreenPipeline:
     """Compiled green-mode runner for one clip geometry."""
 
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, fetch_fg: str = "auto",
-                 matting_dtype=jnp.bfloat16):
+                 matting_dtype=jnp.bfloat16, seg_dtype=jnp.bfloat16):
         """`fetch_fg`: where the fg artifact materializes.
           - "device": fg computed and fetched from the device (preferred on
             PCIe-attached hosts).
@@ -86,6 +116,10 @@ class FusedGreenPipeline:
             input_long_side=work_long_side, dtype=matting_dtype)
         self.score_map = jnp.asarray(
             build_score_map(self.work_hw[0], self.work_hw[1], cfg))
+        # seed segmenter for non-tracking frames (reference
+        # `tools/unscreen/green.py:74-80` runs SegAgent there; chroma is
+        # this framework's weights-free fallback, `binseg.type: "chroma"`)
+        self.seg = _build_seed_segmenter(cfg.get("binseg", {}), seg_dtype)
         self.fg_exist_thr = float(cfg["fg_exist_thr"])
         self.cf_duration = int(cfg["colorfiltering_update_duration"])
         self.cf_train_iters = int(cfg["colorfiltering_train_iters"])
@@ -111,9 +145,15 @@ class FusedGreenPipeline:
         if frame.shape[:2] != self.work_hw:
             frame = resize(frame, self.work_hw)
 
-        # 1. segmentation: tracking shortcut or chroma seed
-        chroma_mask, _ = chroma_segment(frame)
-        segmask = jnp.where(carry.tracking, carry.alpha_pre, chroma_mask)
+        # 1. segmentation: tracking shortcut or seed segmenter. `lax.cond`
+        # (not a select) so the neural forward only executes on frames
+        # that actually lost tracking, like the reference
+        # (`tools/unscreen/green.py:74-80`).
+        segmask = jax.lax.cond(
+            carry.tracking,
+            lambda op: op[0],
+            lambda op: seed_mask(self.seg, op[1]),
+            (carry.alpha_pre, frame))
         fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
 
         # cf_iters schedule (`tools/unscreen/green.py:88-96`)
