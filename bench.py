@@ -1,9 +1,10 @@
 """Headline benchmark: green-mode unscreen throughput at 1080p, one chip.
 
-Runs the fused green pipeline (chroma seed -> GMM color filter -> object
-removal -> trimap -> matting UNet -> color correct -> fg un-blend, all in
-one compiled per-frame program at 960 work resolution) over a synthetic
-1080p green-screen clip, and prints ONE JSON line:
+Runs the fused green pipeline (DeepLab TTA seg on non-tracking frames ->
+GMM color filter -> object removal -> trimap -> matting UNet -> color
+correct -> fg un-blend, all in one compiled per-frame program at 960 work
+resolution; frames cross the host->HBM link as I420 uint8) over a
+synthetic 1080p green-screen clip, and prints ONE JSON line:
 
   {"metric": "green_1080p_fps_per_chip", "value": <fps>,
    "unit": "frames/sec", "vs_baseline": <fps / CPU reference fps>}

@@ -49,3 +49,21 @@ def test_bgr2lab(rng):
     ref = cv2.cvtColor(img, cv2.COLOR_BGR2Lab).astype(np.float32)
     assert np.abs(ours - ref).max() <= 2.0, (
         f"max err {np.abs(ours - ref).max()}")
+
+
+def test_yuv420_to_bgr_matches_cv2():
+    """Device I420 decode == cv2.cvtColor(YUV2BGR_I420) within rounding
+    (the host->HBM wire format of the fused pipelines)."""
+    import jax.numpy as jnp
+    from video_unscreen_tpu.ops.color import yuv420_to_bgr
+    rng = np.random.RandomState(3)
+    small = rng.rand(12, 16, 3)
+    img = (cv2.resize(small.astype(np.float32), (128, 96)) * 255
+           ).astype(np.uint8)
+    i420 = cv2.cvtColor(img, cv2.COLOR_BGR2YUV_I420)
+    ref = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420).astype(np.float32)
+    ours = np.asarray(yuv420_to_bgr(jnp.asarray(i420)))
+    assert np.abs(ours - ref).mean() < 0.5
+    assert np.abs(ours - ref).max() <= 2.0
+    # and the roundtrip stays faithful to the original on smooth content
+    assert np.abs(ours - img.astype(np.float32)).mean() < 8.0

@@ -132,8 +132,10 @@ class STM(nn.Module):
       memorize(frame, mask_fg, mask_bg) -> (k4, v4) at 1/16
       segment(frame, mem_k, mem_v, valid) -> 2-ch logits at input res
 
-    `pallas_attention`: None = auto (Pallas on TPU, einsum elsewhere);
-    set False for training (the flash kernel is forward-only — no VJP).
+    `pallas_attention`: None = auto (Pallas on TPU, einsum elsewhere).
+    The kernel carries a flash-backward custom VJP
+    (`ops/pallas/attention.py`), so training may also use it — at large
+    memory banks it is the only path whose backward fits HBM.
     """
     dtype: Any = jnp.float32
     pallas_attention: Any = None

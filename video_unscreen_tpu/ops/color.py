@@ -93,3 +93,32 @@ def bgr2lab(img: jax.Array) -> jax.Array:
     a = 500.0 * (fx - fy) + 128.0
     b = 200.0 * (fy - fz) + 128.0
     return jnp.stack([l_ * 255.0 / 100.0, a, b], axis=-1)
+
+
+def yuv420_to_bgr(yuv: jax.Array, out_hw=None) -> jax.Array:
+    """Decode an I420 (YUV 4:2:0) plane stack to BGR float32 0..255.
+
+    `yuv` is the (H*3/2, W) uint8 layout produced by
+    `cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)`: H rows of Y, then the
+    H/2 x W/2 U plane packed as H/4 rows, then V likewise. This is the
+    pipeline wire format — production video decodes to 4:2:0 natively,
+    and shipping it host->HBM halves transfer bytes vs packed BGR
+    (SURVEY.md §2.4 streaming row; the tunnel link is the green-mode
+    bottleneck). Coefficients are OpenCV's studio-swing BT.601.
+    """
+    hh = yuv.shape[0]
+    h = (hh * 2) // 3
+    w = yuv.shape[1]
+    y = yuv[:h].astype(jnp.float32)
+    u = yuv[h:h + h // 4].reshape(h // 2, w // 2).astype(jnp.float32)
+    v = yuv[h + h // 4:].reshape(h // 2, w // 2).astype(jnp.float32)
+    # chroma upsample x2 (nearest, matching cv2's I420 path)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=0), 2, axis=1)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1)
+    c = (y - 16.0) * 1.164
+    d = u - 128.0
+    e = v - 128.0
+    r = c + 1.596 * e
+    g = c - 0.813 * e - 0.391 * d
+    b = c + 2.018 * d
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)

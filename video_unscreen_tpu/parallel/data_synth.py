@@ -243,8 +243,13 @@ def make_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     for _ in range(batch):
         bg = _smooth_noise(rng, h, w)
-        fg = _smooth_noise(rng, h, w, scale=4)
-        alpha = _random_alpha(rng, h, w)
+        if rng.rand() < 0.4:
+            # soft-boundary person (hair wisps, thin limbs) — the unknown
+            # band the eval-set matting actually has to solve
+            fg, alpha = render_soft_person(rng, h, w, ss=2)
+        else:
+            fg = _smooth_noise(rng, h, w, scale=4)
+            alpha = _random_alpha(rng, h, w)
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
         img += rng.randn(h, w, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)

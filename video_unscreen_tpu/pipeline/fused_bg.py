@@ -51,8 +51,9 @@ class FusedBgPipeline:
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, use_stm_tracking: bool = True,
                  matting_dtype=jnp.bfloat16, stm_dtype=jnp.bfloat16,
-                 seg_dtype=jnp.bfloat16):
+                 seg_dtype=jnp.bfloat16, wire: str = "yuv420"):
         self.cfg = cfg
+        self.wire = wire  # see FusedGreenPipeline: I420 host->HBM format
         self.ori_hw = tuple(frame_hw)
         # one work resolution, divisible by 32 (matting) and 16 (STM)
         self.work_hw = get_target_size(frame_hw[0], frame_hw[1],
@@ -181,6 +182,9 @@ class FusedBgPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def process_chunk(self, carry: BgCarry, frames: jax.Array):
+        if frames.ndim == 3:  # (N, H*3/2, W) I420 uint8 wire format
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(yuv420_to_bgr)(frames)
         return jax.lax.scan(self._step, carry, frames)
 
     # -- host driver -----------------------------------------------------------
@@ -191,16 +195,21 @@ class FusedBgPipeline:
         wh = (self.work_hw[1], self.work_hw[0])
 
         def preprocess(arr):
-            if not host_downscale or arr.shape[1:3] == self.work_hw:
-                return arr
-            return np.stack([cv2.resize(f, wh) for f in arr])
+            if host_downscale and arr.shape[1:3] != self.work_hw:
+                arr = np.stack([cv2.resize(f, wh) for f in arr])
+            if self.wire == "yuv420":
+                arr = np.stack([
+                    cv2.cvtColor(np.ascontiguousarray(f, np.uint8),
+                                 cv2.COLOR_BGR2YUV_I420) for f in arr])
+            return arr
 
         outs, lengths = [], []
         for chunk in FrameStreamer(frames, chunk_size=chunk_size,
                                    preprocess=preprocess):
             n = chunk.shape[0]
             if n < chunk_size:
-                pad = jnp.tile(chunk[-1:], (chunk_size - n, 1, 1, 1))
+                pad = jnp.tile(chunk[-1:],
+                               (chunk_size - n,) + (1,) * (chunk.ndim - 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
             carry, packed = self.process_chunk(carry, chunk)
             packed.copy_to_host_async()

@@ -88,7 +88,8 @@ class FusedGreenPipeline:
 
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, fetch_fg: str = "auto",
-                 matting_dtype=jnp.bfloat16, seg_dtype=jnp.bfloat16):
+                 matting_dtype=jnp.bfloat16, seg_dtype=jnp.bfloat16,
+                 wire: str = "yuv420"):
         """`fetch_fg`: where the fg artifact materializes.
           - "device": fg computed and fetched from the device (preferred on
             PCIe-attached hosts).
@@ -102,6 +103,10 @@ class FusedGreenPipeline:
         if fetch_fg == "auto":
             fetch_fg = "host" if native_runtime.available() else "device"
         self.fetch_fg = fetch_fg
+        # "yuv420": frames cross the host->HBM link as I420 uint8 (1.5
+        # bytes/px, the format video decoders emit natively) and are
+        # converted to BGR on device; "bgr" ships packed uint8 BGR.
+        self.wire = wire
         self.cfg = cfg
         self.ori_hw = tuple(frame_hw)
         self.work_hw = get_target_size(frame_hw[0], frame_hw[1],
@@ -225,7 +230,11 @@ class FusedGreenPipeline:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def process_chunk(self, carry: GreenCarry, frames: jax.Array):
-        """frames: (N, H, W, 3) full-res float32 0..255, device-resident."""
+        """frames: (N, H, W, 3) BGR 0..255, or (N, H*3/2, W) I420 uint8
+        stacks (the yuv420 wire format), device-resident."""
+        if frames.ndim == 3:
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(yuv420_to_bgr)(frames)
         return jax.lax.scan(self._step, carry, frames)
 
     # -- multi-chip: segments of one clip in parallel over the data axis ----
@@ -283,9 +292,13 @@ class FusedGreenPipeline:
         wh = (self.work_hw[1], self.work_hw[0])
 
         def preprocess(arr):
-            if not host_downscale or arr.shape[1:3] == self.work_hw:
-                return arr
-            return np.stack([cv2.resize(f, wh) for f in arr])
+            if host_downscale and arr.shape[1:3] != self.work_hw:
+                arr = np.stack([cv2.resize(f, wh) for f in arr])
+            if self.wire == "yuv420":
+                arr = np.stack([
+                    cv2.cvtColor(np.ascontiguousarray(f, np.uint8),
+                                 cv2.COLOR_BGR2YUV_I420) for f in arr])
+            return arr
 
         device_outs = []
         lengths = []
@@ -294,7 +307,8 @@ class FusedGreenPipeline:
         for chunk in streamer:
             n = chunk.shape[0]
             if n < chunk_size:  # pad the tail to the compiled shape
-                pad = jnp.tile(chunk[-1:], (chunk_size - n, 1, 1, 1))
+                pad = jnp.tile(chunk[-1:],
+                               (chunk_size - n,) + (1,) * (chunk.ndim - 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
             carry, (packed, bg_colors) = self.process_chunk(carry, chunk)
             for buf in (packed, bg_colors):
