@@ -57,3 +57,19 @@ def test_fused_green_tail_padding():
     pipe = FusedGreenPipeline(TEST_CFG, (h, w), work_long_side=128)
     alphas, _, _ = pipe.run(frames, chunk_size=4)
     assert alphas.shape[0] == 5
+
+
+def test_seed_segmenter_dispatch():
+    """binseg.type routes the fused seed path: chroma -> None (weights-free
+    prior), deeplab/default-with-weights -> SegAgent, human -> SCHP."""
+    from video_unscreen_tpu.pipeline.fused_green import _build_seed_segmenter
+    from video_unscreen_tpu.agents.binseg import HumanSegAgent, SegAgent
+    assert _build_seed_segmenter({"type": "chroma"}, jnp.float32) is None
+    assert _build_seed_segmenter({}, jnp.float32) is None  # no weights
+    seg = _build_seed_segmenter(
+        {"input_long_side": 64, "crop_h": 64, "crop_w": 64,
+         "type": "deeplab"}, jnp.float32)
+    assert isinstance(seg, SegAgent)
+    hum = _build_seed_segmenter({"type": "human", "layers": (1, 1, 1, 1)},
+                                jnp.float32)
+    assert isinstance(hum, HumanSegAgent)

@@ -42,10 +42,10 @@ NONGREEN_CFG = {
                     reason="trained SCHP weights not shipped yet")
 def test_bg_mode_nongreen_fused():
     from video_unscreen_tpu.pipeline.fused_bg import FusedBgPipeline
-    frames, gts, _ = make_nongreen_clip(n=3, h=96, w=128, seed=5,
+    frames, gts, _ = make_nongreen_clip(n=3, h=192, w=256, seed=5,
                                         person_scale=0.8)
     h, w = frames[0].shape[:2]
-    pipe = FusedBgPipeline(NONGREEN_CFG, (h, w), work_long_side=128)
+    pipe = FusedBgPipeline(NONGREEN_CFG, (h, w), work_long_side=256)
     assert pipe.seg is not None  # SCHP actually seeds the scan
     alphas, segmasks, fgs, bgs = pipe.run(frames, chunk_size=3)
     from video_unscreen_tpu.ops.geometry import resize

@@ -50,7 +50,8 @@ TEST_CFG = {
     },
     "trimap": {"input_long_side": 128, "kernelsize": 3, "iters": 3,
                "color_winsize": [10, 100, 180]},
-    "vmatting": {"model_path": None, "input_long_side": 128},
+    "vmatting": {"model_path": "weights/matting_unet.msgpack",
+                 "input_long_side": 128},
     "data": {"dst_img_dir": "/tmp/unscreen_test_out", "range": None},
 }
 

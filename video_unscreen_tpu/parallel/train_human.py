@@ -65,6 +65,18 @@ def make_human_batch(rng: np.random.RandomState, batch: int,
             img[blob] = rng.uniform(0.05, 0.95, 3).astype(np.float32)
         img += rng.randn(h, w, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)
+        # zoom-crop: vary the person's pixel density (the agent warps
+        # arbitrary frames to a fixed 473x473, so limb thickness in px
+        # spans a wide range at inference)
+        if rng.rand() < 0.4:
+            s = rng.uniform(0.3, 0.9)
+            ch, cw = max(int(h * s), 16), max(int(w * s), 16)
+            y0 = rng.randint(0, h - ch + 1)
+            x0 = rng.randint(0, w - cw + 1)
+            img = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (w, h))
+            parts = cv2.resize(parts.astype(np.int32)[y0:y0 + ch,
+                                                      x0:x0 + cw], (w, h),
+                               interpolation=cv2.INTER_NEAREST)
         if raw_uint8:
             imgs.append((img * 255).astype(np.uint8))
         else:
