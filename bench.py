@@ -53,6 +53,9 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--work_long_side", type=int, default=960)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--segments", type=int, default=1,
+                        help="independent clip segments batched per chip "
+                             "(run_segmented when > 1)")
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
     args = parser.parse_args()
@@ -71,15 +74,21 @@ def main():
     pipe = FusedGreenPipeline(cfg, (args.height, args.width),
                               work_long_side=args.work_long_side)
 
+    def run_once(clip):
+        if args.segments > 1:
+            return pipe.run_segmented(clip, n_segments=args.segments,
+                                      chunk_size=args.chunk)
+        return pipe.run(clip, chunk_size=args.chunk)
+
     # warmup: compile with one chunk
-    pipe.run(frames[:args.chunk], chunk_size=args.chunk)
+    run_once(frames[:args.chunk * max(args.segments, 1)])
 
     # median of repeats — the host<->device link on shared tunnels has
     # high run-to-run variance
     times = []
     for _ in range(args.repeats):
         start = time.time()
-        alphas, fgs, bgs = pipe.run(frames, chunk_size=args.chunk)
+        alphas, fgs, bgs = run_once(frames)
         times.append(time.time() - start)
     assert alphas.shape[0] == len(frames)
     fps = len(frames) / sorted(times)[len(times) // 2]
@@ -92,16 +101,24 @@ def main():
     wh = (pipe.work_hw[1], pipe.work_hw[0])
     chunk = jnp.asarray(np.stack(
         [cv2.resize(f, wh) for f in frames[:args.chunk]]))
-    carry = pipe.init_carry()
-    carry, out = pipe.process_chunk(carry, chunk)  # warm
+    if args.segments > 1:
+        chunk = jnp.asarray(np.stack([np.asarray(chunk)] * args.segments))
+        carry = pipe.init_carries(args.segments)
+        step_fn = pipe.process_chunk_segments
+        frames_per_call = args.chunk * args.segments
+    else:
+        carry = pipe.init_carry()
+        step_fn = pipe.process_chunk
+        frames_per_call = args.chunk
+    carry, out = step_fn(carry, chunk)  # warm
     jax.block_until_ready(out)
     dev_times = []
     for _ in range(max(args.repeats, 3)):
         start = time.time()
-        carry, out = pipe.process_chunk(carry, chunk)
+        carry, out = step_fn(carry, chunk)
         jax.block_until_ready(out)
         dev_times.append(time.time() - start)
-    device_fps = args.chunk / sorted(dev_times)[len(dev_times) // 2]
+    device_fps = frames_per_call / sorted(dev_times)[len(dev_times) // 2]
 
     print(json.dumps({
         "metric": "green_1080p_fps_per_chip",

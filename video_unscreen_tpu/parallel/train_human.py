@@ -38,45 +38,63 @@ def make_human_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     imgs, labels = [], []
     for _ in range(batch):
+        # The HumanSegAgent warps arbitrary-aspect frames into its square
+        # input by aspect-preserving fit, zero-filled (black) outside the
+        # frame (`agents/binseg.py:_transforms` + affine_warp zero fill).
+        # Training must see the SAME geometry: generate the scene at a
+        # random aspect ratio, then letterbox it into the square canvas.
+        aspect = rng.uniform(0.45, 2.2) if rng.rand() < 0.7 else 1.0
+        if aspect >= 1.0:  # portrait: height fills, width bands
+            sh, sw = h, max(int(w / aspect), 16)
+        else:              # landscape: width fills, height bands
+            sh, sw = max(int(h * aspect), 16), w
         if rng.rand() < 0.15:  # occasional green screen (bg.json clips
-            bg = np.zeros((h, w, 3), np.float32)  # can be green too)
+            bg = np.zeros((sh, sw, 3), np.float32)  # can be green too)
             bg[...] = (rng.uniform(0.05, 0.35), rng.uniform(0.5, 0.9),
                        rng.uniform(0.1, 0.4))
-            bg += _smooth_noise(rng, h, w, 16) * 0.1
+            bg += _smooth_noise(rng, sh, sw, 16) * 0.1
         else:
-            coarse = max(h // rng.choice([4, 6, 8]), 1)
-            bg = (_smooth_noise(rng, h, w, scale=coarse) * 0.85
-                  + _smooth_noise(rng, h, w, scale=max(h // 24, 1)) * 0.15)
+            coarse = max(sh // rng.choice([4, 6, 8]), 1)
+            bg = (_smooth_noise(rng, sh, sw, scale=coarse) * 0.85
+                  + _smooth_noise(rng, sh, sw, scale=max(sh // 24, 1)) * 0.15)
             # lighting gradient (the eval clips are gradient-lit)
             gy = np.linspace(rng.uniform(0.6, 1.0), rng.uniform(0.9, 1.3),
-                             h, dtype=np.float32)[:, None, None]
+                             sh, dtype=np.float32)[:, None, None]
             bg = bg * gy
-        person, parts = draw_person(rng, h, w)
+        person, parts = draw_person(rng, sh, sw)
         alpha = (parts > 0).astype(np.float32)
         img = alpha[..., None] * person + (1 - alpha[..., None]) * bg
         # distractor blob painted but labeled background — the parser must
         # reject non-person shapes, not just detect "different from bg"
         if rng.rand() < 0.3:
-            blob = np.zeros((h, w), np.uint8)
-            cv2.ellipse(blob, (rng.randint(0, w), rng.randint(0, h)),
-                        (rng.randint(4, w // 4), rng.randint(4, h // 4)),
+            blob = np.zeros((sh, sw), np.uint8)
+            cv2.ellipse(blob, (rng.randint(0, sw), rng.randint(0, sh)),
+                        (rng.randint(4, sw // 4), rng.randint(4, sh // 4)),
                         rng.randint(0, 180), 0, 360, 1, -1)
             blob = (blob > 0) & (parts == 0)
             img[blob] = rng.uniform(0.05, 0.95, 3).astype(np.float32)
-        img += rng.randn(h, w, 3).astype(np.float32) * 0.02
+        img += rng.randn(sh, sw, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)
-        # zoom-crop: vary the person's pixel density (the agent warps
-        # arbitrary frames to a fixed 473x473, so limb thickness in px
-        # spans a wide range at inference)
-        if rng.rand() < 0.4:
-            s = rng.uniform(0.3, 0.9)
-            ch, cw = max(int(h * s), 16), max(int(w * s), 16)
-            y0 = rng.randint(0, h - ch + 1)
-            x0 = rng.randint(0, w - cw + 1)
-            img = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (w, h))
+        # zoom-crop: vary the person's pixel density (limb thickness in
+        # px spans a wide range at inference)
+        if rng.rand() < 0.3:
+            s = rng.uniform(0.4, 0.9)
+            ch, cw = max(int(sh * s), 16), max(int(sw * s), 16)
+            y0 = rng.randint(0, sh - ch + 1)
+            x0 = rng.randint(0, sw - cw + 1)
+            img = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (sw, sh))
             parts = cv2.resize(parts.astype(np.int32)[y0:y0 + ch,
-                                                      x0:x0 + cw], (w, h),
+                                                      x0:x0 + cw], (sw, sh),
                                interpolation=cv2.INTER_NEAREST)
+        if (sh, sw) != (h, w):
+            # centered letterbox fit, zero (black) bands — exactly what
+            # the agent's affine warp produces for this aspect
+            canvas = np.zeros((h, w, 3), np.float32)
+            pcanvas = np.zeros((h, w), np.int32)
+            y0, x0 = (h - sh) // 2, (w - sw) // 2
+            canvas[y0:y0 + sh, x0:x0 + sw] = img
+            pcanvas[y0:y0 + sh, x0:x0 + sw] = parts
+            img, parts = canvas, pcanvas
         if raw_uint8:
             imgs.append((img * 255).astype(np.uint8))
         else:

@@ -37,45 +37,59 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     imgs, labels = [], []
     for _ in range(batch):
+        # The scene can be LARGER than the train size: a window crop of it
+        # then matches the SegAgent's sliding-window TTA views exactly
+        # (`binseg/agent.py:102-141` in the reference) — crops see the
+        # subject zoomed-in, partially, or not at all.
+        zoom = rng.uniform(1.0, 2.5)
+        sh, sw = int(h * zoom), int(w * zoom)
         if rng.rand() < green_screen_prob:
-            bg = np.zeros((h, w, 3), np.float32)
+            bg = np.zeros((sh, sw, 3), np.float32)
             # BGR greenish screen with brightness variation
             bg[...] = (rng.uniform(0.05, 0.35), rng.uniform(0.5, 0.9),
                        rng.uniform(0.1, 0.4))
-            bg += _smooth_noise(rng, h, w, 16) * 0.1
+            bg += _smooth_noise(rng, sh, sw, 16) * 0.1
         else:
-            bg = _smooth_noise(rng, h, w)
+            bg = _smooth_noise(rng, sh, sw)
         kind = rng.rand()
         if kind < 0.5:
             # articulated person figure (the eval-set foreground)
             from .data_synth import draw_person
-            fg, parts = draw_person(rng, h, w)
+            fg, parts = draw_person(rng, sh, sw)
             alpha = (parts > 0).astype(np.float32)
         elif kind < 0.75:
             # flat/near-flat subject color (clothing, skin-like regions)
             fg = np.broadcast_to(
                 rng.uniform(0.05, 0.95, 3).astype(np.float32),
-                (h, w, 3)).copy()
-            fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
-            alpha = _random_alpha(rng, h, w)
+                (sh, sw, 3)).copy()
+            fg += _smooth_noise(rng, sh, sw, 16) * rng.uniform(0.0, 0.2)
+            alpha = _random_alpha(rng, sh, sw)
         else:
-            fg = _smooth_noise(rng, h, w, scale=4)
-            alpha = _random_alpha(rng, h, w)
+            fg = _smooth_noise(rng, sh, sw, scale=4)
+            alpha = _random_alpha(rng, sh, sw)
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * bg
-        img += rng.randn(h, w, 3).astype(np.float32) * 0.02
+        img += rng.randn(sh, sw, 3).astype(np.float32) * 0.02
         img = img.clip(0, 1)
-        # zoom-crop augmentation: the SegAgent's sliding-window TTA feeds
-        # the net sub-views at crop scale (`binseg/agent.py:102-141`), so
-        # training must cover zoomed-in and off-subject views too —
-        # including crops where the subject is partly or fully absent
-        # (grid corners), the failure mode of the round-1 weights
-        if rng.rand() < 0.6:
-            s = rng.uniform(0.35, 0.95)
-            ch, cw = max(int(h * s), 8), max(int(w * s), 8)
-            y0 = rng.randint(0, h - ch + 1)
-            x0 = rng.randint(0, w - cw + 1)
-            img = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (w, h))
-            alpha = cv2.resize(alpha[y0:y0 + ch, x0:x0 + cw], (w, h))
+        if rng.rand() < 0.35:
+            # whole-image view
+            img = cv2.resize(img, (w, h))
+            alpha = cv2.resize(alpha, (w, h))
+        else:
+            # grid view: optionally reflect-pad bottom/right first, as
+            # `pad_resize` does before the grid is cut — border crops at
+            # inference contain mirrored subject parts the net must
+            # label consistently (round-1/2 failure mode: phantom
+            # person detections in the padded band)
+            if rng.rand() < 0.5:
+                py, px = rng.randint(0, h // 2), rng.randint(0, w // 2)
+                img = cv2.copyMakeBorder(img, 0, py, 0, px,
+                                         cv2.BORDER_REFLECT)
+                alpha = cv2.copyMakeBorder(alpha, 0, py, 0, px,
+                                           cv2.BORDER_REFLECT)
+            y0 = rng.randint(0, img.shape[0] - h + 1)
+            x0 = rng.randint(0, img.shape[1] - w + 1)
+            img = img[y0:y0 + h, x0:x0 + w]
+            alpha = alpha[y0:y0 + h, x0:x0 + w]
         rgb = (img[..., ::-1] - mean) / std
         imgs.append(rgb)
         labels.append((alpha > 0.5).astype(np.int32))

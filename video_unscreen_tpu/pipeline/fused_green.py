@@ -237,6 +237,33 @@ class FusedGreenPipeline:
             frames = jax.vmap(yuv420_to_bgr)(frames)
         return jax.lax.scan(self._step, carry, frames)
 
+    # -- single-chip: S independent segments batched through one scan ---------
+    def init_carries(self, n_segments: int) -> GreenCarry:
+        return jax.tree.map(
+            lambda x: jnp.stack([x] * n_segments), self.init_carry())
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def process_chunk_segments(self, carries: GreenCarry,
+                               frames: jax.Array):
+        """Advance S independent clip segments N frames in lockstep.
+
+        frames: (S, N, H, W, 3) BGR or (S, N, H*3/2, W) I420. The scan
+        iterates the frame axis with a `vmap`-ed step over segments: the
+        per-frame `lax.cond`s become batched selects (both branches run
+        for the batch), which is the right trade on a single chip whose
+        MXU is otherwise idle between wire transfers — per-dispatch
+        compute rises ~Sx while bytes/frame stay identical. Segment
+        carries are independent (fresh GMM/tracking per segment, the same
+        chunk-boundary semantics as `process_segments`)."""
+        if frames.ndim == 4:
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(jax.vmap(yuv420_to_bgr))(frames)
+        xs = jnp.swapaxes(frames, 0, 1)          # (N, S, ...)
+        carries, (packed, bg) = jax.lax.scan(
+            jax.vmap(self._step), carries, xs)
+        return carries, (jnp.swapaxes(packed, 0, 1),
+                         jnp.swapaxes(bg, 0, 1))
+
     # -- multi-chip: segments of one clip in parallel over the data axis ----
     def process_segments(self, mesh, segments: jax.Array):
         """Run S clip segments in parallel, one per `data`-axis device.
@@ -273,6 +300,84 @@ class FusedGreenPipeline:
         return jax.jit(fn)(seg_sharded)
 
     # -- host driver ----------------------------------------------------------
+    def run_segmented(self, frames, n_segments: int = 2,
+                      chunk_size: int = 4, host_downscale: bool = True):
+        """Like `run`, but splits the clip into `n_segments` contiguous
+        segments advanced in lockstep through `process_chunk_segments`
+        (single-chip batching: ~Sx device work per dispatch, same wire
+        bytes per frame). Segment boundaries reset the carry — the same
+        re-seed the reference performs whenever tracking drops."""
+        import cv2
+
+        frames = list(frames)
+        n = len(frames)
+        seg_len = -(-n // n_segments)
+        # pad the clip tail so every segment has seg_len frames
+        padded = frames + [frames[-1]] * (n_segments * seg_len - n)
+        wh = (self.work_hw[1], self.work_hw[0])
+
+        def prep(f):
+            f = np.asarray(f, np.uint8)
+            if host_downscale and f.shape[:2] != self.work_hw:
+                f = cv2.resize(f, wh)
+            if self.wire == "yuv420":
+                f = cv2.cvtColor(np.ascontiguousarray(f),
+                                 cv2.COLOR_BGR2YUV_I420)
+            return f
+
+        carries = self.init_carries(n_segments)
+        device_outs, lengths = [], []
+        for c0 in range(0, seg_len, chunk_size):
+            cn = min(chunk_size, seg_len - c0)
+            batch = np.stack([
+                np.stack([prep(padded[s * seg_len + c0 + i])
+                          for i in range(cn)]
+                         + [prep(padded[s * seg_len + c0 + cn - 1])]
+                         * (chunk_size - cn))
+                for s in range(n_segments)])
+            carries, (packed, bg_colors) = self.process_chunk_segments(
+                carries, jnp.asarray(batch))
+            for buf in (packed, bg_colors):
+                buf.copy_to_host_async()
+            device_outs.append((packed, bg_colors))
+            lengths.append(cn)
+
+        # reassemble: per segment, concatenate chunks, then trim the pad
+        seg_packed = [[] for _ in range(n_segments)]
+        seg_bg = [[] for _ in range(n_segments)]
+        for (packed, bg_colors), cn in zip(device_outs, lengths):
+            p = np.asarray(packed)[:, :cn]
+            b = np.asarray(bg_colors)[:, :cn]
+            for s in range(n_segments):
+                seg_packed[s].append(p[s])
+                seg_bg[s].append(b[s])
+        packed = np.concatenate(
+            [np.concatenate(sp) for sp in seg_packed])[:n]
+        bg_colors = np.concatenate(
+            [np.concatenate(sb) for sb in seg_bg])[:n]
+        return self._assemble_outputs(frames, packed, bg_colors)
+
+    def _assemble_outputs(self, frames, packed, bg_colors):
+        """Host-side artifact reconstruction from the packed d2h tensor:
+        work-res frames come from the HOST originals (never fetched back
+        over the link); fg via the native runtime in "host" fetch mode;
+        bg = alpha<128 ? frame : bg_color."""
+        import cv2
+        wh = (self.work_hw[1], self.work_hw[0])
+        frames_w = np.stack([
+            cv2.resize(np.asarray(f, np.uint8), wh)
+            if f.shape[:2] != self.work_hw else np.asarray(f, np.uint8)
+            for f in frames])
+        alphas = packed[..., 0]
+        if self.fetch_fg == "device":
+            fgs = packed[..., 1:4]
+        else:
+            from .. import runtime as native_runtime
+            fgs = native_runtime.get_fg_batch(frames_w, alphas, bg_colors)
+        bgs = np.where((packed[..., :1] < 128), frames_w,
+                       bg_colors[:, None, None, :].astype(np.uint8))
+        return alphas, fgs, bgs
+
     def run(self, frames, chunk_size: int = 8, host_downscale: bool = True):
         """Stream a clip through the compiled pipeline.
 
