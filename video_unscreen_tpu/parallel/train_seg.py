@@ -86,8 +86,16 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
                                          cv2.BORDER_REFLECT)
                 alpha = cv2.copyMakeBorder(alpha, 0, py, 0, px,
                                            cv2.BORDER_REFLECT)
-            y0 = rng.randint(0, img.shape[0] - h + 1)
-            x0 = rng.randint(0, img.shape[1] - w + 1)
+            # resample windows that sit ~entirely inside the subject: a
+            # boundary-free flat-color view is indistinguishable from an
+            # empty green screen, and labeling it "person" teaches the
+            # net that featureless windows are foreground (the v5
+            # regression: pure-green crops predicted 80% person)
+            for _ in range(6):
+                y0 = rng.randint(0, img.shape[0] - h + 1)
+                x0 = rng.randint(0, img.shape[1] - w + 1)
+                if (alpha[y0:y0 + h, x0:x0 + w] > 0.5).mean() < 0.85:
+                    break
             img = img[y0:y0 + h, x0:x0 + w]
             alpha = alpha[y0:y0 + h, x0:x0 + w]
         rgb = (img[..., ::-1] - mean) / std
