@@ -26,6 +26,8 @@ if __name__ == "__main__":
     parser.add_argument("--out", type=str, default="weights/stm.msgpack")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="fine-tune from saved variables")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -43,6 +45,13 @@ if __name__ == "__main__":
     state = make_stm_train_state(model, optimizer,
                                  jax.random.PRNGKey(args.seed),
                                  sample_hw=(args.size, args.size))
+    if args.init_from:
+        from video_unscreen_tpu.utils.checkpoint import load_variables
+        vs = load_variables(args.init_from,
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats})
+        state = state._replace(params=vs["params"],
+                               batch_stats=vs["batch_stats"])
     train_step = make_stm_train_step(model, optimizer, mesh)
 
     rng = np.random.RandomState(args.seed)

@@ -35,7 +35,7 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
     h, w = hw
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
-    imgs, labels = [], []
+    imgs, labels, weights = [], [], []
     for _ in range(batch):
         # The scene can be LARGER than the train size: a window crop of it
         # then matches the SegAgent's sliding-window TTA views exactly
@@ -100,8 +100,18 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             alpha = alpha[y0:y0 + h, x0:x0 + w]
         rgb = (img[..., ::-1] - mean) / std
         imgs.append(rgb)
-        labels.append((alpha > 0.5).astype(np.int32))
-    return {"img": np.stack(imgs), "label": np.stack(labels)}
+        lab = (alpha > 0.5).astype(np.int32)
+        labels.append(lab)
+        # boundary-weighted CE: the TTA ensemble averages slightly
+        # misaligned per-crop softmaxes, so boundary sharpness decides
+        # the grid-vs-whole MIOU delta — upweight the boundary band
+        lab8 = (lab * 255).astype(np.uint8)
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+        band = cv2.dilate(lab8, k, iterations=2) != cv2.erode(
+            lab8, k, iterations=2)
+        weights.append(1.0 + 2.0 * band.astype(np.float32))
+    return {"img": np.stack(imgs), "label": np.stack(labels),
+            "weight": np.stack(weights)}
 
 
 def seg_loss(params, batch_stats, model, batch, dropout_rng):
@@ -109,8 +119,13 @@ def seg_loss(params, batch_stats, model, batch, dropout_rng):
         {"params": params, "batch_stats": batch_stats},
         batch["img"], train=True, mutable=["batch_stats"],
         rngs={"dropout": dropout_rng})
-    loss = optax.softmax_cross_entropy_with_integer_labels(
-        logits, batch["label"]).mean()
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch["label"])
+    wgt = batch.get("weight")
+    if wgt is None:
+        loss = ce.mean()
+    else:
+        loss = (ce * wgt).sum() / wgt.sum()
     return loss, updates["batch_stats"]
 
 

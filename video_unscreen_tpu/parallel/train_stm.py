@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .data_synth import _random_alpha, _smooth_noise
+from .data_synth import _random_alpha, _smooth_noise, draw_person
 from .mesh import batch_sharding, param_shardings, replicate
 
 
@@ -37,25 +37,51 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
     std = np.array([0.229, 0.224, 0.225], np.float32)
     f1s, m1s, f2s, m2s = [], [], [], []
     for _ in range(batch):
-        if rng.rand() < 0.4:
-            # flat screen-like background (the bg-mode use case)
+        # background: textured multi-scale noise with a lighting gradient
+        # (the bg-mode workload, same statistics as the non-green eval
+        # clips), flat screen-like occasionally
+        if rng.rand() < 0.25:
             bg = np.broadcast_to(
                 rng.uniform(0.05, 0.95, 3).astype(np.float32),
                 (h, w, 3)).copy()
         else:
-            bg = _smooth_noise(rng, h, w)
-        if rng.rand() < 0.5:
-            fg = np.broadcast_to(
-                rng.uniform(0.05, 0.95, 3).astype(np.float32),
-                (h, w, 3)).copy()
-            fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
+            coarse = max(h // rng.choice([4, 6, 8]), 1)
+            bg = (_smooth_noise(rng, h, w, scale=coarse) * 0.85
+                  + _smooth_noise(rng, h, w, scale=max(h // 24, 1)) * 0.15)
+            gy = np.linspace(rng.uniform(0.6, 1.0), rng.uniform(0.9, 1.3),
+                             h, dtype=np.float32)[:, None, None]
+            bg = (bg * gy).clip(0, 1)
+
+        if rng.rand() < 0.6:
+            # walking person: same figure at two walk phases + translation
+            # (articulated limb motion, not just rigid shift)
+            prng = np.random.RandomState(rng.randint(1 << 31))
+            state = prng.get_state()
+            p1 = rng.uniform(0, 2 * np.pi)
+            person1, parts1 = draw_person(prng, h, w, phase=p1)
+            prng.set_state(state)
+            person2, parts2 = draw_person(prng, h, w,
+                                          phase=p1 + rng.uniform(0.3, 1.2))
+            dx = rng.randint(-6, 7)
+            person2 = np.roll(person2, dx, axis=1)
+            parts2 = np.roll(parts2, dx, axis=1)
+            alpha1 = (parts1 > 0).astype(np.float32)
+            alpha2 = (parts2 > 0).astype(np.float32)
+            fg, fg2 = person1, person2
         else:
-            fg = _smooth_noise(rng, h, w, scale=4)
-        alpha1 = _random_alpha(rng, h, w)
-        dx, dy = rng.randint(-6, 7, size=2)
-        m = np.float32([[1, 0, dx], [0, 1, dy]])
-        alpha2 = cv2.warpAffine(alpha1, m, (w, h))
-        fg2 = cv2.warpAffine(fg, m, (w, h))
+            # deformable blob pair (generic object tracking)
+            if rng.rand() < 0.5:
+                fg = np.broadcast_to(
+                    rng.uniform(0.05, 0.95, 3).astype(np.float32),
+                    (h, w, 3)).copy()
+                fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
+            else:
+                fg = _smooth_noise(rng, h, w, scale=4)
+            alpha1 = _random_alpha(rng, h, w)
+            dx, dy = rng.randint(-6, 7, size=2)
+            m = np.float32([[1, 0, dx], [0, 1, dy]])
+            alpha2 = cv2.warpAffine(alpha1, m, (w, h))
+            fg2 = cv2.warpAffine(fg, m, (w, h))
 
         def compose(a, f):
             img = a[..., None] * f + (1 - a[..., None]) * bg
