@@ -30,6 +30,8 @@ if __name__ == "__main__":
                         default="weights/matting_unet.msgpack")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="fine-tune from saved variables")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -44,6 +46,13 @@ if __name__ == "__main__":
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
     state = make_train_state(model, optimizer, jax.random.PRNGKey(args.seed),
                              sample_hw=(args.size, args.size))
+    if args.init_from:
+        from video_unscreen_tpu.utils.checkpoint import load_variables
+        vs = load_variables(args.init_from,
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats})
+        state = state._replace(params=vs["params"],
+                               batch_stats=vs["batch_stats"])
     train_step = make_train_step(model, optimizer, mesh)
 
     rng = np.random.RandomState(args.seed)

@@ -242,11 +242,34 @@ def make_batch(rng: np.random.RandomState, batch: int,
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     for _ in range(batch):
-        bg = _smooth_noise(rng, h, w)
-        if rng.rand() < 0.4:
+        r_bg = rng.rand()
+        if r_bg < 0.3:
+            # green screen (green-mode matting uses the same net)
+            bg = np.zeros((h, w, 3), np.float32)
+            bg[...] = (rng.uniform(0.05, 0.35), rng.uniform(0.5, 0.9),
+                       rng.uniform(0.1, 0.4))
+            bg += _smooth_noise(rng, h, w, 16) * 0.1
+        elif r_bg < 0.7:
+            # textured gradient-lit background (the bg-mode clips)
+            coarse = max(h // rng.choice([4, 6, 8]), 1)
+            bg = (_smooth_noise(rng, h, w, scale=coarse) * 0.85
+                  + _smooth_noise(rng, h, w, scale=max(h // 24, 1)) * 0.15)
+            gy = np.linspace(rng.uniform(0.6, 1.0), rng.uniform(0.9, 1.3),
+                             h, dtype=np.float32)[:, None, None]
+            bg = (bg * gy).clip(0, 1)
+        else:
+            bg = _smooth_noise(rng, h, w)
+        r_fg = rng.rand()
+        if r_fg < 0.35:
             # soft-boundary person (hair wisps, thin limbs) — the unknown
             # band the eval-set matting actually has to solve
             fg, alpha = render_soft_person(rng, h, w, ss=2)
+        elif r_fg < 0.65:
+            # hard-boundary person: the band's GT is bimodal 0/1 and the
+            # net must resolve it crisply, not hedge at 0.5 (the fused-bg
+            # halo failure: ~uniform 0.6 predicted across the band)
+            fg, parts = draw_person(rng, h, w)
+            alpha = (parts > 0).astype(np.float32)
         else:
             fg = _smooth_noise(rng, h, w, scale=4)
             alpha = _random_alpha(rng, h, w)

@@ -35,7 +35,7 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
     h, w = hw
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
-    imgs, labels, weights = [], [], []
+    imgs, labels = [], []
     for _ in range(batch):
         # The scene can be LARGER than the train size: a window crop of it
         # then matches the SegAgent's sliding-window TTA views exactly
@@ -53,10 +53,17 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             bg = _smooth_noise(rng, sh, sw)
         kind = rng.rand()
         if kind < 0.5:
-            # articulated person figure (the eval-set foreground)
-            from .data_synth import draw_person
-            fg, parts = draw_person(rng, sh, sw)
-            alpha = (parts > 0).astype(np.float32)
+            # articulated person figure (the eval-set foreground); half
+            # soft-rendered (supersampled hair wisps / soft limb edges —
+            # zoomed TTA crops see these boundaries at 2x+, where hard
+            # cartoon edges are OOD)
+            if rng.rand() < 0.5:
+                from .data_synth import render_soft_person
+                fg, alpha = render_soft_person(rng, sh, sw, ss=2)
+            else:
+                from .data_synth import draw_person
+                fg, parts = draw_person(rng, sh, sw)
+                alpha = (parts > 0).astype(np.float32)
         elif kind < 0.75:
             # flat/near-flat subject color (clothing, skin-like regions)
             fg = np.broadcast_to(
@@ -100,18 +107,8 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             alpha = alpha[y0:y0 + h, x0:x0 + w]
         rgb = (img[..., ::-1] - mean) / std
         imgs.append(rgb)
-        lab = (alpha > 0.5).astype(np.int32)
-        labels.append(lab)
-        # boundary-weighted CE: the TTA ensemble averages slightly
-        # misaligned per-crop softmaxes, so boundary sharpness decides
-        # the grid-vs-whole MIOU delta — upweight the boundary band
-        lab8 = (lab * 255).astype(np.uint8)
-        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
-        band = cv2.dilate(lab8, k, iterations=2) != cv2.erode(
-            lab8, k, iterations=2)
-        weights.append(1.0 + 2.0 * band.astype(np.float32))
-    return {"img": np.stack(imgs), "label": np.stack(labels),
-            "weight": np.stack(weights)}
+        labels.append((alpha > 0.5).astype(np.int32))
+    return {"img": np.stack(imgs), "label": np.stack(labels)}
 
 
 def seg_loss(params, batch_stats, model, batch, dropout_rng):
