@@ -32,7 +32,15 @@ class VMattingAgent:
     def __init__(self, model_path: Optional[str] = None,
                  input_long_side: int = 960, cuda_device: int = 0,
                  dtype=jnp.float32, seed: int = 0,
-                 fold_spectral_norm: bool = True):
+                 fold_spectral_norm: bool = False):
+        """`fold_spectral_norm` divides every conv kernel by its leading
+        singular value — the constant-at-inference form of the reference's
+        SpectralNorm wrappers (`vmatting/model.py:45-113`). It is ONLY
+        correct for weights imported from a torch checkpoint that stored
+        raw (pre-SN) kernels; the natively trained .msgpack weights this
+        framework ships were optimized WITHOUT SN in the forward, so
+        folding them runs a different (weight-shrunk) function — the net
+        then hedges mid-gray across the trimap band."""
         if input_long_side % self.DIVISION != 0:
             input_long_side = (input_long_side // self.DIVISION + 1
                                ) * self.DIVISION

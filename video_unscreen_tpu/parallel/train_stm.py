@@ -61,8 +61,11 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
             person1, parts1 = draw_person(prng, h, w, phase=p1)
             prng.set_state(state)
             person2, parts2 = draw_person(prng, h, w,
-                                          phase=p1 + rng.uniform(0.3, 1.2))
-            dx = rng.randint(-6, 7)
+                                          phase=p1 + rng.uniform(0.3, 2.0))
+            # the FIFO memory bank matches the query against frames up to
+            # memory_capacity*memory_step old — displacements accumulate
+            # to tens of px, so pairs must cover that range
+            dx = rng.randint(-20, 21)
             person2 = np.roll(person2, dx, axis=1)
             parts2 = np.roll(parts2, dx, axis=1)
             alpha1 = (parts1 > 0).astype(np.float32)
@@ -78,7 +81,7 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
             else:
                 fg = _smooth_noise(rng, h, w, scale=4)
             alpha1 = _random_alpha(rng, h, w)
-            dx, dy = rng.randint(-6, 7, size=2)
+            dx, dy = rng.randint(-20, 21, size=2)
             m = np.float32([[1, 0, dx], [0, 1, dy]])
             alpha2 = cv2.warpAffine(alpha1, m, (w, h))
             fg2 = cv2.warpAffine(fg, m, (w, h))
