@@ -12,7 +12,7 @@ import optax
 
 from video_unscreen_tpu.models import STM
 from video_unscreen_tpu.parallel import make_mesh
-from video_unscreen_tpu.parallel.train_stm import (make_pair_batch,
+from video_unscreen_tpu.parallel.train_stm import (make_clip_batch,
                                                    make_stm_train_state,
                                                    make_stm_train_step)
 from video_unscreen_tpu.utils.checkpoint import save_variables
@@ -26,6 +26,9 @@ if __name__ == "__main__":
     parser.add_argument("--out", type=str, default="weights/stm.msgpack")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--clip_len", type=int, default=3,
+                        help="frames per training clip; clip_len-1 "
+                             "memory slots")
     parser.add_argument("--init_from", type=str, default=None,
                         help="fine-tune from saved variables")
     parser.add_argument("--cpu", action="store_true")
@@ -58,8 +61,9 @@ if __name__ == "__main__":
     t0 = time.time()
     with mesh:
         for step in range(args.steps):
-            batch = make_pair_batch(rng, args.batch,
-                                    (args.size, args.size))
+            batch = make_clip_batch(rng, args.batch,
+                                    (args.size, args.size),
+                                    clip_len=args.clip_len)
             state, loss = train_step(state, batch)
             if step % args.log_every == 0 or step == args.steps - 1:
                 print(f"step {step:5d} loss {float(loss):.4f} "

@@ -21,3 +21,24 @@ Layer map (mirrors reference SURVEY.md §1, rebuilt TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env():
+    """Apply $JAX_PLATFORMS before any backend is initialized.
+
+    TPU plugin platforms (e.g. tunneled axon chips) register themselves
+    regardless of the env var, and the TPU is single-client — a CLI asked
+    to run on "cpu" must never claim the chip out from under a training
+    job. Importing any submodule can touch the backend, so this runs at
+    package import, not at driver start."""
+    import os
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:  # backend already locked in this process
+            pass
+
+
+_honor_platform_env()

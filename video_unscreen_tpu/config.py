@@ -33,6 +33,13 @@ def select_device(device_id: Optional[int] = None):
     """
     import jax
 
+    # Honor $JAX_PLATFORMS explicitly: TPU plugin platforms (e.g. axon)
+    # register themselves regardless of the env var, so a driver asked to
+    # run on "cpu" would otherwise still claim the (single-client) TPU.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     if device_id is None:
         raw = os.environ.get("UNSCREEN_DEVICE_ID")
         if raw is None or not raw.strip().lstrip("-").isdigit():

@@ -52,7 +52,15 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
         else:
             bg = _smooth_noise(rng, sh, sw)
         kind = rng.rand()
-        if kind < 0.5:
+        if kind < 0.12:
+            # EMPTY scene — no subject at all. Anchors the calibration of
+            # featureless views: an all-background window must predict
+            # background (without these, continued training repeatedly
+            # drifted into 'uniform green = person', the v5/v7/v8
+            # collapse on empty grid crops)
+            fg = bg
+            alpha = np.zeros((sh, sw), np.float32)
+        elif kind < 0.55:
             # articulated person figure (the eval-set foreground); half
             # soft-rendered (supersampled hair wisps / soft limb edges —
             # zoomed TTA crops see these boundaries at 2x+, where hard
@@ -64,11 +72,16 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
                 from .data_synth import draw_person
                 fg, parts = draw_person(rng, sh, sw)
                 alpha = (parts > 0).astype(np.float32)
-        elif kind < 0.75:
-            # flat/near-flat subject color (clothing, skin-like regions)
-            fg = np.broadcast_to(
-                rng.uniform(0.05, 0.95, 3).astype(np.float32),
-                (sh, sw, 3)).copy()
+        elif kind < 0.78:
+            # flat/near-flat subject color (clothing, skin-like regions),
+            # kept chroma-separated from the background mean so a flat
+            # subject interior is never pixel-identical to the screen
+            bg_mean = bg.reshape(-1, 3).mean(0)
+            for _ in range(8):
+                color = rng.uniform(0.05, 0.95, 3).astype(np.float32)
+                if np.abs(color - bg_mean).sum() > 0.45:
+                    break
+            fg = np.broadcast_to(color, (sh, sw, 3)).copy()
             fg += _smooth_noise(rng, sh, sw, 16) * rng.uniform(0.0, 0.2)
             alpha = _random_alpha(rng, sh, sw)
         else:

@@ -27,15 +27,21 @@ class STMTrainState(NamedTuple):
     step: jax.Array
 
 
-def make_pair_batch(rng: np.random.RandomState, batch: int,
-                    hw: Tuple[int, int] = (128, 128)
-                    ) -> Dict[str, np.ndarray]:
-    """(frame1, mask1, frame2, mask2): the subject translates/scales a
-    little between frames over a shared background."""
+def make_clip_batch(rng: np.random.RandomState, batch: int,
+                    hw: Tuple[int, int] = (128, 128),
+                    clip_len: int = 3) -> Dict[str, np.ndarray]:
+    """T-frame clips: frames 0..T-2 become memory entries (teacher-forced
+    with their GT masks), frame T-1 is the query. Training with T > 2
+    memories is what makes the FIFO ring bank work at inference — a net
+    trained on single-memory pairs smears attention across a multi-slot
+    bank (long-drift clip MIOU 0.36 with 10 memories vs 0.9+ with one).
+
+    Returns {"frames": (B, T, h, w, 3) normalized, "masks": (B, T, h, w)}.
+    """
     h, w = hw
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
-    f1s, m1s, f2s, m2s = [], [], [], []
+    all_frames, all_masks = [], []
     for _ in range(batch):
         # background: textured multi-scale noise with a lighting gradient
         # (the bg-mode workload, same statistics as the non-green eval
@@ -52,27 +58,27 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
                              h, dtype=np.float32)[:, None, None]
             bg = (bg * gy).clip(0, 1)
 
+        fgs, alphas = [], []
         if rng.rand() < 0.6:
-            # walking person: same figure at two walk phases + translation
-            # (articulated limb motion, not just rigid shift)
+            # walking person: same figure at successive walk phases with
+            # per-step translation (articulated motion, not rigid shift)
             prng = np.random.RandomState(rng.randint(1 << 31))
             state = prng.get_state()
             p1 = rng.uniform(0, 2 * np.pi)
-            person1, parts1 = draw_person(prng, h, w, phase=p1)
-            prng.set_state(state)
-            person2, parts2 = draw_person(prng, h, w,
-                                          phase=p1 + rng.uniform(0.3, 2.0))
-            # the FIFO memory bank matches the query against frames up to
-            # memory_capacity*memory_step old — displacements accumulate
-            # to tens of px, so pairs must cover that range
-            dx = rng.randint(-20, 21)
-            person2 = np.roll(person2, dx, axis=1)
-            parts2 = np.roll(parts2, dx, axis=1)
-            alpha1 = (parts1 > 0).astype(np.float32)
-            alpha2 = (parts2 > 0).astype(np.float32)
-            fg, fg2 = person1, person2
+            dphase = rng.uniform(0.3, 1.0)
+            # displacements accumulate across the clip the way they do
+            # across the FIFO bank's lifetime at inference
+            step_dx = rng.randint(-10, 11)
+            for t in range(clip_len):
+                prng.set_state(state)
+                person, parts = draw_person(prng, h, w,
+                                            phase=p1 + t * dphase)
+                person = np.roll(person, t * step_dx, axis=1)
+                parts = np.roll(parts, t * step_dx, axis=1)
+                fgs.append(person)
+                alphas.append((parts > 0).astype(np.float32))
         else:
-            # deformable blob pair (generic object tracking)
+            # deformable blob clip (generic object tracking)
             if rng.rand() < 0.5:
                 fg = np.broadcast_to(
                     rng.uniform(0.05, 0.95, 3).astype(np.float32),
@@ -80,39 +86,68 @@ def make_pair_batch(rng: np.random.RandomState, batch: int,
                 fg += _smooth_noise(rng, h, w, 16) * rng.uniform(0.0, 0.2)
             else:
                 fg = _smooth_noise(rng, h, w, scale=4)
-            alpha1 = _random_alpha(rng, h, w)
-            dx, dy = rng.randint(-20, 21, size=2)
-            m = np.float32([[1, 0, dx], [0, 1, dy]])
-            alpha2 = cv2.warpAffine(alpha1, m, (w, h))
-            fg2 = cv2.warpAffine(fg, m, (w, h))
+            alpha0 = _random_alpha(rng, h, w)
+            step = rng.randint(-10, 11, size=2)
+            for t in range(clip_len):
+                m = np.float32([[1, 0, t * step[0]], [0, 1, t * step[1]]])
+                alphas.append(cv2.warpAffine(alpha0, m, (w, h)))
+                fgs.append(cv2.warpAffine(fg, m, (w, h)))
 
         def compose(a, f):
             img = a[..., None] * f + (1 - a[..., None]) * bg
             img += rng.randn(h, w, 3).astype(np.float32) * 0.02
             return ((img.clip(0, 1))[..., ::-1] - mean) / std
 
-        f1s.append(compose(alpha1, fg))
-        f2s.append(compose(alpha2, fg2))
-        m1s.append((alpha1 > 0.5).astype(np.float32))
-        m2s.append((alpha2 > 0.5).astype(np.int32))
-    return {"frame1": np.stack(f1s), "mask1": np.stack(m1s),
-            "frame2": np.stack(f2s), "mask2": np.stack(m2s)}
+        all_frames.append(np.stack([compose(a, f)
+                                    for a, f in zip(alphas, fgs)]))
+        all_masks.append(np.stack([(a > 0.5).astype(np.float32)
+                                   for a in alphas]))
+    return {"frames": np.stack(all_frames), "masks": np.stack(all_masks)}
+
+
+def make_pair_batch(rng: np.random.RandomState, batch: int,
+                    hw: Tuple[int, int] = (128, 128)
+                    ) -> Dict[str, np.ndarray]:
+    """2-frame compatibility wrapper over `make_clip_batch`."""
+    b = make_clip_batch(rng, batch, hw, clip_len=2)
+    return {"frame1": b["frames"][:, 0], "mask1": b["masks"][:, 0],
+            "frame2": b["frames"][:, 1],
+            "mask2": b["masks"][:, 1].astype(np.int32)}
 
 
 def stm_loss(params, batch_stats, model, batch):
-    variables = {"params": params, "batch_stats": batch_stats}
-    (k, v), up = model.apply(
-        variables, batch["frame1"], batch["mask1"], 1.0 - batch["mask1"],
-        True, mutable=["batch_stats"],
-        method=lambda m, f, mf, mb, t: m.memorize(f, mf, mb, t))
-    valid = jnp.ones((batch["frame1"].shape[0], 1), bool)
+    """Memorize frames 0..T-2 (teacher-forced GT masks) into a T-1 slot
+    bank, segment frame T-1 against the whole bank — the inference-time
+    FIFO ring contract (`agents/stm.py`), not just a single-memory pair."""
+    if "frames" in batch:
+        frames, masks = batch["frames"], batch["masks"]
+        T = frames.shape[1]
+        mem_frames = [(frames[:, t], masks[:, t]) for t in range(T - 1)]
+        query, target = frames[:, -1], batch["masks"][:, -1].astype(
+            jnp.int32)
+    else:  # 2-frame pair dict (compat)
+        mem_frames = [(batch["frame1"], batch["mask1"])]
+        query, target = batch["frame2"], batch["mask2"]
+    stats = batch_stats
+    ks, vs = [], []
+    for f, mmask in mem_frames:
+        (k, v), up = model.apply(
+            {"params": params, "batch_stats": stats},
+            f, mmask, 1.0 - mmask, True, mutable=["batch_stats"],
+            method=lambda m, fr, mf, mb, t: m.memorize(fr, mf, mb, t))
+        stats = up["batch_stats"]
+        ks.append(k)
+        vs.append(v)
+    mem_k = jnp.stack(ks, axis=1)
+    mem_v = jnp.stack(vs, axis=1)
+    valid = jnp.ones((query.shape[0], len(ks)), bool)
     logits, up2 = model.apply(
-        {"params": params, "batch_stats": up["batch_stats"]},
-        batch["frame2"], k[:, None], v[:, None], valid, True,
+        {"params": params, "batch_stats": stats},
+        query, mem_k, mem_v, valid, True,
         mutable=["batch_stats"],
         method=lambda m, f, mk, mv, vl, t: m.segment_raw(f, mk, mv, vl, t))
     loss = optax.softmax_cross_entropy_with_integer_labels(
-        logits, batch["mask2"]).mean()
+        logits, target).mean()
     return loss, up2["batch_stats"]
 
 
