@@ -99,3 +99,26 @@ def test_custom_vjp_under_vmap(rng):
     rq = jax.grad(dense)(q, k, v)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_zero_valid_keys_returns_zero(rng):
+    """All keys masked -> zero output and zero gradient to every input
+    (the kernel used to silently return mean(V) — ADVICE round-2)."""
+    lq, lk, dk, dv = 64, 128, 128, 128
+    q = jnp.asarray(rng.randn(lq, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(lk, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(lk, dv).astype(np.float32))
+    mask = jnp.zeros(lk, jnp.float32)
+
+    out = np.asarray(masked_memory_attention(
+        q, k, v, mask, q_tile=64, k_tile=128, interpret=True))
+    np.testing.assert_allclose(out, 0.0)
+
+    def loss(q_, k_, v_):
+        return masked_memory_attention(q_, k_, v_, mask, q_tile=64,
+                                       k_tile=128, interpret=True).sum()
+
+    dq, dk_, dv_ = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), 0.0)
+    np.testing.assert_allclose(np.asarray(dk_), 0.0)
+    np.testing.assert_allclose(np.asarray(dv_), 0.0)

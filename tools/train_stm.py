@@ -29,6 +29,17 @@ if __name__ == "__main__":
     parser.add_argument("--clip_len", type=int, default=3,
                         help="frames per training clip; clip_len-1 "
                              "memory slots")
+    parser.add_argument("--clip_lens", type=str, default=None,
+                        help="comma list of clip lengths cycled across "
+                             "steps (e.g. 2,4,8) — trains the attention "
+                             "to work at every bank fill level the "
+                             "inference-time FIFO ring reaches "
+                             "(agents/stm.py device_inference); overrides "
+                             "--clip_len")
+    parser.add_argument("--save_every", type=int, default=0,
+                        help="checkpoint to --out every N steps (0 = "
+                             "only at the end) so a parallel CPU process "
+                             "can evaluate the propagation gate mid-run")
     parser.add_argument("--init_from", type=str, default=None,
                         help="fine-tune from saved variables")
     parser.add_argument("--cpu", action="store_true")
@@ -37,6 +48,7 @@ if __name__ == "__main__":
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     mesh = make_mesh()
     print(f"mesh: {dict(mesh.shape)} on {jax.default_backend()}")
 
@@ -57,19 +69,29 @@ if __name__ == "__main__":
                                batch_stats=vs["batch_stats"])
     train_step = make_stm_train_step(model, optimizer, mesh)
 
+    clip_lens = ([int(v) for v in args.clip_lens.split(",")]
+                 if args.clip_lens else [args.clip_len])
+
+    def checkpoint():
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        save_variables(args.out, variables)
+
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
     with mesh:
         for step in range(args.steps):
+            cl = clip_lens[step % len(clip_lens)]
             batch = make_clip_batch(rng, args.batch,
                                     (args.size, args.size),
-                                    clip_len=args.clip_len)
+                                    clip_len=cl)
             state, loss = train_step(state, batch)
             if step % args.log_every == 0 or step == args.steps - 1:
-                print(f"step {step:5d} loss {float(loss):.4f} "
+                print(f"step {step:5d} T={cl} loss {float(loss):.4f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+            if args.save_every and step and step % args.save_every == 0:
+                checkpoint()
+                print(f"checkpoint @ step {step}", flush=True)
 
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
-    save_variables(args.out, variables)
+    checkpoint()
     print(f"saved {args.out}")

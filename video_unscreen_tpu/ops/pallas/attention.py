@@ -62,9 +62,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     @pl.when(j == nk - 1)
     def _():
         l_fin = jnp.maximum(l_ref[:], 1e-30)
-        o_ref[:] = acc_ref[:] / l_fin
+        # zero valid keys: m never left _NEG_INF, p degenerated to
+        # exp(0)=1 per key — zero the output instead of emitting mean(V),
+        # and set lse=0 so the backward's p=exp(s-lse)=exp(-1e30) == 0
+        # (no gradient leak to masked keys)
+        any_valid = m_ref[:] > _NEG_INF * 0.5
+        o_ref[:] = jnp.where(any_valid, acc_ref[:] / l_fin, 0.0)
         # log-sum-exp residual for the backward pass
-        lse_ref[:] = m_ref[:] + jnp.log(l_fin)
+        lse_ref[:] = jnp.where(any_valid, m_ref[:] + jnp.log(l_fin), 0.0)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
@@ -292,8 +297,9 @@ def masked_memory_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Differentiable: a custom VJP runs the flash backward (tile-wise P
     recomputation from the saved log-sum-exp) in Pallas, so STM training
     can use the kernel at memory-bank sizes whose dense score matrix
-    would not fit HBM. Requires >= 1 valid key per call (always true for
-    the STM ring buffer, whose current slot is always valid).
+    would not fit HBM. With zero valid keys the output is 0 and no
+    gradient flows to any key (the STM ring buffer always has >= 1 valid
+    slot, but the kernel no longer silently returns mean(V) if misused).
 
     Args:
       q: (Lq, Dk) queries.

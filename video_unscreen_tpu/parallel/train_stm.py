@@ -45,11 +45,19 @@ def make_clip_batch(rng: np.random.RandomState, batch: int,
     for _ in range(batch):
         # background: textured multi-scale noise with a lighting gradient
         # (the bg-mode workload, same statistics as the non-green eval
-        # clips), flat screen-like occasionally
-        if rng.rand() < 0.25:
+        # clips), flat screen-like occasionally, or pure single-octave
+        # smooth noise (no fine detail, no gradient — featureless smooth
+        # regions locally resemble a flat-color subject; without this
+        # class the memory read spills fg onto them, the round-2
+        # long-clip gate failure: 28% predicted fg vs 13% GT at frame 1)
+        r_bg = rng.rand()
+        if r_bg < 0.2:
             bg = np.broadcast_to(
                 rng.uniform(0.05, 0.95, 3).astype(np.float32),
                 (h, w, 3)).copy()
+        elif r_bg < 0.45:
+            bg = _smooth_noise(rng, h, w,
+                               scale=max(h // rng.choice([6, 8, 12]), 1))
         else:
             coarse = max(h // rng.choice([4, 6, 8]), 1)
             bg = (_smooth_noise(rng, h, w, scale=coarse) * 0.85
