@@ -51,7 +51,24 @@ class FusedBgPipeline:
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, use_stm_tracking: bool = True,
                  matting_dtype=jnp.bfloat16, stm_dtype=jnp.bfloat16,
-                 seg_dtype=jnp.bfloat16, wire: str = "yuv420"):
+                 seg_dtype=jnp.bfloat16, wire: str = "bgr",
+                 fetch: str = "auto", bg_downscale: int = 2):
+        """`fetch` — what crosses the device->host link per frame:
+          - "device": all four artifacts (alpha + segmask + fg + bg,
+            8 uint8 channels/px).
+          - "host": alpha + segmask + the regionfilled bg at
+            1/`bg_downscale` res (2 + 3/ds^2 ~ 2.75 B/px, ~3x less d2h);
+            fg and full-res bg are reconstructed host-side (fg via the
+            native `vu_unblend_fg_batch`, bg = alpha==0 ? frame : bg_up).
+          - "auto": "host" when the native runtime is available.
+        `wire` — host->device format: "bgr" (default, lossless parity with
+        the reference's full-res BGR feed) or "yuv420" (I420 uint8, 1.5
+        B/px — the bench/production choice on bandwidth-limited links)."""
+        from .. import runtime as native_runtime
+        if fetch == "auto":
+            fetch = "host" if native_runtime.available() else "device"
+        self.fetch = fetch
+        self.bg_downscale = int(bg_downscale)
         self.cfg = cfg
         self.wire = wire  # see FusedGreenPipeline: I420 host->HBM format
         self.ori_hw = tuple(frame_hw)
@@ -165,20 +182,32 @@ class FusedBgPipeline:
         alpha_ensm = alpha1 * jnp.floor(alphabg / 255.0)
         alpha = self._matting_pass(frame, carry.alpha_pre, alpha_ensm)
 
-        # fg un-blend (`bg.py:99-102`)
-        bg_final = jnp.where((alpha == 0)[..., None], frame, bgimg)
-        fg = get_fg(frame, alpha, bg_final)
-
+        # no-foreground gate before the outputs so host- and device-fetch
+        # reconstruct identical artifacts (`bg.py:59-66` gates at seg time)
         alpha = jnp.where(fg_exists, alpha, 0.0)
-        fg = jnp.where(fg_exists, fg, 0.0)
 
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
                                    frame_prev=norm, fid=carry.fid + 1))
-        packed = jnp.concatenate(
-            [alpha[..., None], segmask[..., None], fg, bg_final],
-            axis=-1).astype(jnp.uint8)
-        return new_carry, packed
+        if self.fetch == "device":
+            # fg un-blend (`bg.py:99-102`) on device; 8 channels/px d2h
+            bg_final = jnp.where((alpha == 0)[..., None], frame, bgimg)
+            fg = get_fg(frame, alpha, bg_final)
+            fg = jnp.where(fg_exists, fg, 0.0)
+            packed = jnp.concatenate(
+                [alpha[..., None], segmask[..., None], fg, bg_final],
+                axis=-1).astype(jnp.uint8)
+            bg_small = jnp.zeros((1, 1, 3), jnp.uint8)
+        else:
+            # wire discipline: alpha + segmask full-res, regionfilled bg
+            # at 1/ds res; fg/bg reconstructed host-side
+            packed = jnp.concatenate(
+                [alpha[..., None], segmask[..., None]],
+                axis=-1).astype(jnp.uint8)
+            ds = self.bg_downscale
+            bg_small = jnp.clip(resize(bgimg, (h // ds, w // ds)),
+                                0.0, 255.0).astype(jnp.uint8)
+        return new_carry, (packed, bg_small)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def process_chunk(self, carry: BgCarry, frames: jax.Array):
@@ -187,11 +216,136 @@ class FusedBgPipeline:
             frames = jax.vmap(yuv420_to_bgr)(frames)
         return jax.lax.scan(self._step, carry, frames)
 
+    # -- bg_step (offline) stage scans ----------------------------------------
+    def _stage1_step(self, carry: BgCarry, frame_full: jax.Array):
+        """bg_step stage 1 per-frame body (`bg_offline.py:51-97`): seg ->
+        object removal -> trimap -> matting -> per-frame regionfill bg.
+        Emits (segmask, bg) — the stage's artifact contract."""
+        h, w = self.work_hw
+        frame = frame_full.astype(jnp.float32)
+        if frame.shape[:2] != self.work_hw:
+            frame = resize(frame, self.work_hw)
+        norm = imnormalize(frame)
+
+        segmask = self._segment(carry, frame, norm)
+        fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
+        alpha = self._matting_pass(frame, carry.alpha_pre, segmask)
+        alpha = jnp.where(fg_exists, alpha, 0.0)
+        bgimg = self._per_frame_background(frame, alpha)
+        # no foreground -> the frame IS the background
+        # (`bg_offline.py:69-70`)
+        bgimg = jnp.where(fg_exists, bgimg, frame)
+
+        tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
+        new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
+                                   frame_prev=norm, fid=carry.fid + 1))
+        packed = jnp.concatenate(
+            [segmask[..., None], jnp.clip(bgimg, 0.0, 255.0)],
+            axis=-1).astype(jnp.uint8)
+        return new_carry, packed
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def process_chunk_stage1(self, carry: BgCarry, frames: jax.Array):
+        """bg_step stage 1 over a frame chunk: one compiled scan instead
+        of the per-stage host round-trips of the modular loop."""
+        if frames.ndim == 3:
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(yuv420_to_bgr)(frames)
+        return jax.lax.scan(self._stage1_step, carry, frames)
+
+    def _stage3_step(self, carry: BgCarry, xs):
+        """bg_step stage 3 per-frame body (`bg_offline.py:133-177`):
+        bg-difference mask against the fused (per-frame x global) bg ->
+        second matting pass -> fg un-blend. Emits (alpha, fg)."""
+        frame_full, bgimg_u8, segmask_u8 = xs
+        frame = frame_full.astype(jnp.float32)
+        if frame.shape[:2] != self.work_hw:
+            frame = resize(frame, self.work_hw)
+        bgimg = bgimg_u8.astype(jnp.float32)
+        segmask = segmask_u8.astype(jnp.float32)
+
+        diff = bgr2gray(jnp.abs(frame - bgimg))
+        alphabg = jnp.where(diff > self.bg_mask_thr, 255.0, diff)
+        alphabg = morph.dilate(jnp.clip(alphabg, 0.0, 255.0), 4, 2)
+        alpha_ensm = segmask * jnp.floor(alphabg / 255.0)
+
+        # first frame seeds alpha_pre from the ensembled mask
+        # (`bg_offline.py:138-139`)
+        alpha_pre = jnp.where(carry.fid == 0, alpha_ensm, carry.alpha_pre)
+        alpha = self._matting_pass(frame, alpha_pre, alpha_ensm)
+
+        bg_final = jnp.where((alpha == 0)[..., None], frame, bgimg)
+        fg = get_fg(frame, alpha, bg_final)
+
+        new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=carry.tracking,
+                                   frame_prev=carry.frame_prev,
+                                   fid=carry.fid + 1))
+        packed = jnp.concatenate(
+            [alpha[..., None], jnp.clip(fg, 0.0, 255.0)],
+            axis=-1).astype(jnp.uint8)
+        return new_carry, packed
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def process_chunk_stage3(self, carry: BgCarry, frames: jax.Array,
+                             bgimgs: jax.Array, segmasks: jax.Array):
+        if frames.ndim == 3:
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(yuv420_to_bgr)(frames)
+        return jax.lax.scan(self._stage3_step, carry,
+                            (frames, bgimgs, segmasks))
+
+    # -- single-chip: S independent segments batched through one scan ---------
+    def init_carries(self, n_segments: int) -> BgCarry:
+        return jax.tree.map(
+            lambda x: jnp.stack([x] * n_segments), self.init_carry())
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def process_chunk_segments(self, carries: BgCarry, frames: jax.Array):
+        """Advance S independent clip segments N frames in lockstep (see
+        `FusedGreenPipeline.process_chunk_segments` — same trade: the
+        per-frame `lax.cond`s become batched selects, per-dispatch compute
+        rises ~Sx while wire bytes/frame stay identical).
+
+        frames: (S, N, H, W, 3) BGR or (S, N, H*3/2, W) I420."""
+        if frames.ndim == 4:
+            from ..ops.color import yuv420_to_bgr
+            frames = jax.vmap(jax.vmap(yuv420_to_bgr))(frames)
+        xs = jnp.swapaxes(frames, 0, 1)          # (N, S, ...)
+        carries, (packed, bg_small) = jax.lax.scan(
+            jax.vmap(self._step), carries, xs)
+        return carries, (jnp.swapaxes(packed, 0, 1),
+                         jnp.swapaxes(bg_small, 0, 1))
+
+    # -- multi-chip: segments of one clip in parallel over the data axis ----
+    def process_segments(self, mesh, segments: jax.Array):
+        """Run S clip segments in parallel, one per `data`-axis device
+        (see `FusedGreenPipeline.process_segments`; segment boundaries
+        reset the carry — the re-seed `bg.py:103-104` performs whenever
+        tracking drops).
+
+        segments: (S, L, H, W, 3) with S divisible by mesh.shape['data'].
+        Returns (packed (S, L, h, w, C), bg_small (S, L, h/ds, w/ds, 3)).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        def one_segment(seg):
+            seg = seg[0]  # (L, H, W, 3) — this device's segment
+            _, (packed, bg_small) = jax.lax.scan(
+                self._step, self.init_carry(), seg)
+            return packed[None], bg_small[None]
+
+        fn = shard_map(one_segment, mesh=mesh,
+                       in_specs=P("data"),
+                       out_specs=(P("data"), P("data")),
+                       check_vma=False)
+        seg_sharded = jax.device_put(
+            segments, NamedSharding(mesh, P("data")))
+        return jax.jit(fn)(seg_sharded)
+
     # -- host driver -----------------------------------------------------------
-    def run(self, frames, chunk_size: int = 4, host_downscale: bool = True):
-        """Returns (alphas, segmasks, fgs, bgs) uint8 at work res."""
+    def _preprocess(self, host_downscale):
         import cv2
-        carry = self.init_carry()
         wh = (self.work_hw[1], self.work_hw[0])
 
         def preprocess(arr):
@@ -202,36 +356,180 @@ class FusedBgPipeline:
                     cv2.cvtColor(np.ascontiguousarray(f, np.uint8),
                                  cv2.COLOR_BGR2YUV_I420) for f in arr])
             return arr
+        return preprocess
 
+    def _assemble_outputs(self, frames, packed, bg_small):
+        """Artifacts from the d2h payload. Host-fetch mode reconstructs:
+        bg = alpha==0 ? frame : upsampled regionfilled bg; fg = HSV
+        un-blend against that bg (native `vu_unblend_fg_batch`, numpy
+        fallback)."""
+        import cv2
+        wh = (self.work_hw[1], self.work_hw[0])
+        frames_w = np.stack([
+            cv2.resize(np.asarray(f, np.uint8), wh)
+            if f.shape[:2] != self.work_hw else np.asarray(f, np.uint8)
+            for f in frames])
+        alphas, segmasks = packed[..., 0], packed[..., 1]
+        if self.fetch == "device":
+            return alphas, segmasks, packed[..., 2:5], packed[..., 5:8]
+        # Hole-aware reconstruction. The device bg is, per pixel
+        # (`_per_frame_background` + `bg.py:99-102` semantics):
+        #   alpha == 0          -> the frame itself
+        #   inside the dilated hole -> the regionfill membrane (smooth —
+        #       survives the wire downsample losslessly in practice)
+        #   else (soft ring)    -> (1-a) * frame darkened in HSV —
+        #       recomputed here EXACTLY from frame + alpha, because
+        #       down/upsampling that ring would bleed subject color into
+        #       the hole (the failure mode of naive where(alpha==0)).
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+        bgs = np.empty_like(frames_w)
+        for i in range(frames_w.shape[0]):
+            a = alphas[i]
+            hole = cv2.dilate((a > 128).astype(np.uint8), kernel,
+                              iterations=2)
+            hsv = cv2.cvtColor(frames_w[i], cv2.COLOR_BGR2HSV).astype(
+                np.float32)
+            dark = cv2.cvtColor(
+                np.clip((1.0 - a / 255.0)[..., None] * hsv, 0,
+                        255).astype(np.uint8), cv2.COLOR_HSV2BGR)
+            bg_up = cv2.resize(bg_small[i], wh,
+                               interpolation=cv2.INTER_LINEAR)
+            bg = np.where((hole > 0)[..., None], bg_up, dark)
+            bgs[i] = np.where((a == 0)[..., None], frames_w[i], bg)
+        from .. import runtime as native_runtime
+        if native_runtime.available():
+            fgs = native_runtime.unblend_fg_batch(frames_w, alphas, bgs)
+        else:
+            fgs = _unblend_fg_numpy(frames_w, alphas, bgs)
+        return alphas, segmasks, fgs, bgs
+
+    def run(self, frames, chunk_size: int = 4, host_downscale: bool = True,
+            timer=None):
+        """Returns (alphas, segmasks, fgs, bgs) uint8 at work res.
+
+        `timer`: optional `utils.profiling.StageTimer` — same per-stage
+        report contract as `FusedGreenPipeline.run`."""
+        from ..utils.profiling import StageTimer
+        timer = timer or StageTimer()
+        frames = list(frames)
+        carry = self.init_carry()
         outs, lengths = [], []
-        for chunk in FrameStreamer(frames, chunk_size=chunk_size,
-                                   preprocess=preprocess):
+        streamer = iter(FrameStreamer(frames, chunk_size=chunk_size,
+                                      preprocess=self._preprocess(
+                                          host_downscale)))
+        while True:
+            with timer.stage("stream_wait"):
+                chunk = next(streamer, None)
+            if chunk is None:
+                break
             n = chunk.shape[0]
             if n < chunk_size:
                 pad = jnp.tile(chunk[-1:],
                                (chunk_size - n,) + (1,) * (chunk.ndim - 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
-            carry, packed = self.process_chunk(carry, chunk)
-            packed.copy_to_host_async()
-            outs.append(packed)
+            with timer.stage("dispatch"):
+                carry, (packed, bg_small) = self.process_chunk(carry,
+                                                               chunk)
+                if timer.block:
+                    jax.block_until_ready((packed, bg_small))
+            for buf in (packed, bg_small):
+                buf.copy_to_host_async()
+            outs.append((packed, bg_small))
             lengths.append(n)
-        parts = [np.asarray(p)[:n] for p, n in zip(outs, lengths)]
-        packed = np.concatenate(parts)
-        return (packed[..., 0], packed[..., 1], packed[..., 2:5],
-                packed[..., 5:8])
+        with timer.stage("fetch"):
+            packed = np.concatenate(
+                [np.asarray(p)[:n] for (p, _), n in zip(outs, lengths)])
+            bg_small = np.concatenate(
+                [np.asarray(b)[:n] for (_, b), n in zip(outs, lengths)])
+        with timer.stage("reconstruct"):
+            return self._assemble_outputs(frames, packed, bg_small)
+
+    def run_segmented(self, frames, n_segments: int = 2,
+                      chunk_size: int = 4, host_downscale: bool = True,
+                      timer=None):
+        """Like `run`, but splits the clip into `n_segments` contiguous
+        segments advanced in lockstep (single-chip batching; segment
+        boundaries reset the carry — the same re-seed the reference
+        performs whenever tracking drops, `bg.py:103-104`)."""
+        from ..utils.profiling import StageTimer
+        timer = timer or StageTimer()
+        frames = list(frames)
+        n = len(frames)
+        seg_len = -(-n // n_segments)
+        padded = frames + [frames[-1]] * (n_segments * seg_len - n)
+        prep = self._preprocess(host_downscale)
+
+        carries = self.init_carries(n_segments)
+        device_outs, lengths = [], []
+        for c0 in range(0, seg_len, chunk_size):
+            cn = min(chunk_size, seg_len - c0)
+            with timer.stage("host_prep"):
+                batch = np.stack([
+                    prep(np.stack(
+                        [padded[s * seg_len + min(c0 + i, seg_len - 1)]
+                         for i in range(chunk_size)]))
+                    for s in range(n_segments)])
+            with timer.stage("dispatch"):
+                carries, (packed, bg_small) = self.process_chunk_segments(
+                    carries, jnp.asarray(batch))
+                if timer.block:
+                    jax.block_until_ready((packed, bg_small))
+            for buf in (packed, bg_small):
+                buf.copy_to_host_async()
+            device_outs.append((packed, bg_small))
+            lengths.append(cn)
+
+        with timer.stage("fetch"):
+            seg_p = [[] for _ in range(n_segments)]
+            seg_b = [[] for _ in range(n_segments)]
+            for (packed, bg_small), cn in zip(device_outs, lengths):
+                p = np.asarray(packed)[:, :cn]
+                b = np.asarray(bg_small)[:, :cn]
+                for s in range(n_segments):
+                    seg_p[s].append(p[s])
+                    seg_b[s].append(b[s])
+            packed = np.concatenate(
+                [np.concatenate(sp) for sp in seg_p])[:n]
+            bg_small = np.concatenate(
+                [np.concatenate(sb) for sb in seg_b])[:n]
+        with timer.stage("reconstruct"):
+            return self._assemble_outputs(frames, packed, bg_small)
+
+
+def _unblend_fg_numpy(frames: np.ndarray, alphas: np.ndarray,
+                      bgs: np.ndarray) -> np.ndarray:
+    """Vectorized numpy fallback of `vu_unblend_fg_batch` (HSV un-blend
+    with a per-pixel background, `fgfuncs.py:84-110` semantics)."""
+    import cv2
+    out = np.empty_like(frames)
+    for i in range(frames.shape[0]):
+        img_hsv = cv2.cvtColor(frames[i], cv2.COLOR_BGR2HSV).astype(
+            np.float32)
+        bg_hsv = cv2.cvtColor(bgs[i], cv2.COLOR_BGR2HSV).astype(np.float32)
+        a = (alphas[i] / 255.0)[..., None]
+        fg_hsv = np.clip(img_hsv - (1.0 - a) * bg_hsv, 0, 255)
+        out[i] = cv2.cvtColor(fg_hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    return out
 
 
 def run_fused(cfg: dict, frames=None, save: bool = True,
               chunk_size: int = 4, work_long_side: int = 960,
-              use_stm_tracking: bool = True) -> dict:
+              use_stm_tracking: bool = True, segments: int = 1,
+              wire: str = "bgr", profile: bool = False) -> dict:
     """Driver-compatible bg-mode runner on the fused path (same artifacts
-    as `pipeline/bg.py`: segmask_/bg_/alphamask_/fg_*.jpg at work res)."""
+    as `pipeline/bg.py`: segmask_/bg_/alphamask_/fg_*.jpg at work res).
+
+    `segments > 1` batches S independent clip segments through one
+    compiled scan (single-chip MXU utilization; carries reset at segment
+    boundaries). `wire` selects the host->device frame format. `profile`
+    prints the per-stage runtime report and honors $VU_TRACE_DIR."""
     import os
     import time
 
     from .common import read_frames, artifact_path
     from .. import runtime as native_runtime
     from ..utils.fileio import save_img
+    from ..utils.profiling import StageTimer, maybe_trace
 
     data = cfg["data"]
     if save:
@@ -243,10 +541,21 @@ def run_fused(cfg: dict, frames=None, save: bool = True,
           f"{time.time() - st:.2f}s")
 
     pipe = FusedBgPipeline(cfg, (h, w), work_long_side=work_long_side,
-                           use_stm_tracking=use_stm_tracking)
+                           use_stm_tracking=use_stm_tracking, wire=wire)
+    timer = StageTimer(block=True) if profile else None
     st = time.time()
-    alphas, segmasks, fgs, bgs = pipe.run(frame_list, chunk_size=chunk_size)
+    with maybe_trace():
+        if segments > 1:
+            alphas, segmasks, fgs, bgs = pipe.run_segmented(
+                frame_list, n_segments=segments, chunk_size=chunk_size,
+                timer=timer)
+        else:
+            alphas, segmasks, fgs, bgs = pipe.run(frame_list,
+                                                  chunk_size=chunk_size,
+                                                  timer=timer)
     elapsed = time.time() - st
+    if timer is not None:
+        print(timer.report(numframes=len(frame_list)))
     print(f"fused bg: {len(frame_list)} frames in {elapsed:.2f}s "
           f"({len(frame_list) / elapsed:.2f} fps)")
 

@@ -68,6 +68,11 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vu_unblend_fg_batch.restype = ctypes.c_int
+    lib.vu_unblend_fg_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -125,6 +130,27 @@ def get_fg_batch(frames: np.ndarray, alphas: np.ndarray,
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         bg_colors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, threads)
+    return out
+
+
+def unblend_fg_batch(frames: np.ndarray, alphas: np.ndarray,
+                     bgs: np.ndarray, threads: int = 16) -> np.ndarray:
+    """Per-pixel-background HSV fg un-blend (`fgfuncs.py:84-110` with a bg
+    *image*), threaded in C++ — bg mode's host-side fg reconstruction."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frames = np.ascontiguousarray(frames, np.uint8)
+    alphas = np.ascontiguousarray(alphas, np.uint8)
+    bgs = np.ascontiguousarray(bgs, np.uint8)
+    n, h, w, _ = frames.shape
+    out = np.empty_like(frames)
+    lib.vu_unblend_fg_batch(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, h, w, threads)
     return out

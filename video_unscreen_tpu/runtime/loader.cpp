@@ -277,4 +277,41 @@ int vu_get_fg_batch(const uint8_t* frames, const uint8_t* alphas,
   return 0;
 }
 
+// Per-pixel-background variant (bg mode): frames (n, h, w, 3) BGR u8,
+// alphas (n, h, w) u8, bgs (n, h, w, 3) BGR u8 (the regionfilled
+// background), out (n, h, w, 3) u8 = alpha*fg. Same HSV un-blend as
+// vu_get_fg_batch but the background is an image, not a flat color —
+// reconstructs fused bg mode's fg artifact on the host from the
+// (alpha, downsampled-bg) wire payload.
+int vu_unblend_fg_batch(const uint8_t* frames, const uint8_t* alphas,
+                        const uint8_t* bgs, uint8_t* out, int n, int h,
+                        int w, int threads) {
+  const size_t plane = static_cast<size_t>(h) * w;
+  parallel_for(n, threads, [&](int i) {
+    const uint8_t* frame = frames + i * plane * 3;
+    const uint8_t* alpha = alphas + i * plane;
+    const uint8_t* bg = bgs + i * plane * 3;
+    uint8_t* dst = out + i * plane * 3;
+    for (size_t p = 0; p < plane; ++p) {
+      float a = alpha[p] / 255.0f;
+      float ih, is, iv, bh, bs, bv;
+      bgr2hsv(frame[p * 3], frame[p * 3 + 1], frame[p * 3 + 2],
+              &ih, &is, &iv);
+      bgr2hsv(bg[p * 3], bg[p * 3 + 1], bg[p * 3 + 2], &bh, &bs, &bv);
+      float fh = ih - (1.0f - a) * bh;
+      float fs = is - (1.0f - a) * bs;
+      float fv = iv - (1.0f - a) * bv;
+      fh = fh < 0 ? 0 : (fh > 255 ? 255 : fh);
+      fs = fs < 0 ? 0 : (fs > 255 ? 255 : fs);
+      fv = fv < 0 ? 0 : (fv > 255 ? 255 : fv);
+      float b, g, r;
+      hsv2bgr(fh, fs, fv, &b, &g, &r);
+      dst[p * 3] = clamp_u8(b);
+      dst[p * 3 + 1] = clamp_u8(g);
+      dst[p * 3 + 2] = clamp_u8(r);
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"
