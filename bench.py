@@ -3,17 +3,25 @@
 Runs the fused green pipeline (DeepLab TTA seg on non-tracking frames ->
 GMM color filter -> object removal -> trimap -> matting UNet -> color
 correct -> fg un-blend, all in one compiled per-frame program at 960 work
-resolution; frames cross the host->HBM link as I420 uint8) over a
-synthetic 1080p green-screen clip, and prints ONE JSON line:
+resolution; frames cross the host->HBM link as I420 uint8 — the
+production wire opt-in) over a synthetic 1080p green-screen clip, and
+prints ONE JSON line:
 
   {"metric": "green_1080p_fps_per_chip", "value": <fps>,
-   "unit": "frames/sec", "vs_baseline": <fps / CPU reference fps>}
+   "unit": "frames/sec", "vs_baseline": <fps / CPU reference fps>,
+   "device_fps": <link-excluded fps>, "segments": <S>,
+   "bg_fps": <fused bg-mode wall fps>, "bg_device_fps": ...}
 
 Baseline: the reference (AnyiRao/video_unscreen) publishes no numbers and
 cannot run here (no pretrained .pth weights ship with it), so the recorded
 baseline is this same pipeline executed on the host CPU — measured once
 and recorded in BASELINE.md (CPU_BASELINE_FPS below). The BASELINE.json
 target is >=10x the CPU-reference fps.
+
+Segment batching (--segments, default 4): S independent clip segments
+advance in lockstep through one compiled scan — S x the device work per
+dispatch at identical wire bytes/frame, the single-chip MXU-utilization
+lever (VERDICT round-2 item 3).
 """
 
 import argparse
@@ -45,6 +53,82 @@ def make_clip(n, h=1080, w=1920, seed=0):
     return frames
 
 
+def make_natural_clip(n, h=1080, w=1920, seed=1):
+    """Textured-background clip for bg mode (person-ish moving blob)."""
+    import cv2
+    rng = np.random.RandomState(seed)
+    small = rng.rand(24, 24, 3).astype(np.float32)
+    bg = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+    bg = (bg.clip(0, 1) * 255).astype(np.float32)
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(n):
+        img = bg.copy()
+        cx = w // 3 + 6 * t
+        blob = ((yy - h // 2) ** 2 / (300.0 ** 2)
+                + (xx - cx) ** 2 / (140.0 ** 2)) < 1.0
+        img[blob] = (150, 60, 170)
+        img += rng.randn(h, w, 3).astype(np.float32) * 3
+        frames.append(img.clip(0, 255).astype(np.uint8))
+    return frames
+
+
+def bench_pipeline(pipe, frames, chunk, segments, repeats):
+    """(wall_fps, device_fps) for a fused pipeline instance."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    def run_once(clip):
+        if segments > 1:
+            return pipe.run_segmented(clip, n_segments=segments,
+                                      chunk_size=chunk)
+        return pipe.run(clip, chunk_size=chunk)
+
+    # warmup: compile with one chunk
+    run_once(frames[:chunk * max(segments, 1)])
+
+    # median of repeats — the host<->device link on shared tunnels has
+    # high run-to-run variance
+    times = []
+    for _ in range(repeats):
+        start = time.time()
+        outs = run_once(frames)
+        times.append(time.time() - start)
+    assert outs[0].shape[0] == len(frames)
+    fps = len(frames) / sorted(times)[len(times) // 2]
+
+    # device-compute-only throughput (link-excluded): the same compiled
+    # program on device-resident input, end-to-end blocked. This is the
+    # figure a PCIe-attached host would approach.
+    wh = (pipe.work_hw[1], pipe.work_hw[0])
+    arr = np.stack([cv2.resize(f, wh) for f in frames[:chunk]])
+    if pipe.wire == "yuv420":
+        arr = np.stack([
+            cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_BGR2YUV_I420)
+            for f in arr])
+    chunk_dev = jnp.asarray(arr)
+    if segments > 1:
+        chunk_dev = jnp.asarray(np.stack([arr] * segments))
+        carry = pipe.init_carries(segments)
+        step_fn = pipe.process_chunk_segments
+        frames_per_call = chunk * segments
+    else:
+        carry = pipe.init_carry()
+        step_fn = pipe.process_chunk
+        frames_per_call = chunk
+    carry, out = step_fn(carry, chunk_dev)  # warm
+    jax.block_until_ready(out)
+    dev_times = []
+    for _ in range(max(repeats, 3)):
+        start = time.time()
+        carry, out = step_fn(carry, chunk_dev)
+        jax.block_until_ready(out)
+        dev_times.append(time.time() - start)
+    device_fps = frames_per_call / sorted(dev_times)[len(dev_times) // 2]
+    return fps, device_fps
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=32)
@@ -53,9 +137,14 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--work_long_side", type=int, default=960)
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--segments", type=int, default=1,
+    parser.add_argument("--segments", type=int, default=4,
                         help="independent clip segments batched per chip "
                              "(run_segmented when > 1)")
+    parser.add_argument("--wire", type=str, default="yuv420",
+                        choices=("bgr", "yuv420"))
+    parser.add_argument("--mode", type=str, default="both",
+                        choices=("green", "bg", "both"))
+    parser.add_argument("--bg_frames", type=int, default=16)
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
     args = parser.parse_args()
@@ -64,69 +153,47 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from video_unscreen_tpu.config import load_config
     from video_unscreen_tpu.pipeline.fused_green import FusedGreenPipeline
 
-    cfg = load_config("configs/green.json")
-    frames = make_clip(args.frames, args.height, args.width)
-    pipe = FusedGreenPipeline(cfg, (args.height, args.width),
-                              work_long_side=args.work_long_side)
+    record = {"metric": "green_1080p_fps_per_chip",
+              "unit": "frames/sec", "segments": args.segments,
+              "wire": args.wire}
 
-    def run_once(clip):
-        if args.segments > 1:
-            return pipe.run_segmented(clip, n_segments=args.segments,
-                                      chunk_size=args.chunk)
-        return pipe.run(clip, chunk_size=args.chunk)
+    if args.mode in ("green", "both"):
+        cfg = load_config("configs/green.json")
+        frames = make_clip(args.frames, args.height, args.width)
+        pipe = FusedGreenPipeline(cfg, (args.height, args.width),
+                                  work_long_side=args.work_long_side,
+                                  wire=args.wire)
+        fps, device_fps = bench_pipeline(pipe, frames, args.chunk,
+                                         args.segments, args.repeats)
+        record["value"] = round(fps, 3)
+        record["vs_baseline"] = round(fps / CPU_BASELINE_FPS, 3)
+        record["device_fps"] = round(device_fps, 3)
 
-    # warmup: compile with one chunk
-    run_once(frames[:args.chunk * max(args.segments, 1)])
+    if args.mode in ("bg", "both"):
+        bg_cfg = load_config("configs/bg.json")
+        bg_frames = make_natural_clip(args.bg_frames, args.height,
+                                      args.width)
+        from video_unscreen_tpu.pipeline.fused_bg import FusedBgPipeline
+        bg_pipe = FusedBgPipeline(bg_cfg, (args.height, args.width),
+                                  work_long_side=args.work_long_side,
+                                  wire=args.wire)
+        bg_fps, bg_device_fps = bench_pipeline(
+            bg_pipe, bg_frames, args.chunk, args.segments,
+            max(args.repeats - 2, 3))
+        record["bg_fps"] = round(bg_fps, 3)
+        record["bg_device_fps"] = round(bg_device_fps, 3)
+        if args.mode == "bg":
+            record["metric"] = "bg_1080p_fps_per_chip"
+            record["value"] = round(bg_fps, 3)
+            record["vs_baseline"] = round(bg_fps / CPU_BASELINE_FPS, 3)
 
-    # median of repeats — the host<->device link on shared tunnels has
-    # high run-to-run variance
-    times = []
-    for _ in range(args.repeats):
-        start = time.time()
-        alphas, fgs, bgs = run_once(frames)
-        times.append(time.time() - start)
-    assert alphas.shape[0] == len(frames)
-    fps = len(frames) / sorted(times)[len(times) // 2]
-
-    # device-compute-only throughput (link-excluded): the same compiled
-    # program on device-resident input, end-to-end blocked. This is the
-    # figure a PCIe-attached host would approach.
-    import jax.numpy as jnp
-    import cv2
-    wh = (pipe.work_hw[1], pipe.work_hw[0])
-    chunk = jnp.asarray(np.stack(
-        [cv2.resize(f, wh) for f in frames[:args.chunk]]))
-    if args.segments > 1:
-        chunk = jnp.asarray(np.stack([np.asarray(chunk)] * args.segments))
-        carry = pipe.init_carries(args.segments)
-        step_fn = pipe.process_chunk_segments
-        frames_per_call = args.chunk * args.segments
-    else:
-        carry = pipe.init_carry()
-        step_fn = pipe.process_chunk
-        frames_per_call = args.chunk
-    carry, out = step_fn(carry, chunk)  # warm
-    jax.block_until_ready(out)
-    dev_times = []
-    for _ in range(max(args.repeats, 3)):
-        start = time.time()
-        carry, out = step_fn(carry, chunk)
-        jax.block_until_ready(out)
-        dev_times.append(time.time() - start)
-    device_fps = frames_per_call / sorted(dev_times)[len(dev_times) // 2]
-
-    print(json.dumps({
-        "metric": "green_1080p_fps_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / CPU_BASELINE_FPS, 3),
-        "device_fps": round(device_fps, 3),
-    }))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

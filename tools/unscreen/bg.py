@@ -15,6 +15,19 @@ if __name__ == "__main__":
     parser.add_argument("--fused", action="store_true",
                         help="run the compiled single-program pipeline")
     parser.add_argument("--chunk", type=int, default=4)
+    parser.add_argument("--segments", type=int, default=1,
+                        help="batch N independent clip segments through "
+                             "one compiled scan (fused path; carries "
+                             "reset at segment boundaries)")
+    parser.add_argument("--wire", type=str, default="bgr",
+                        choices=("bgr", "yuv420"),
+                        help="host->device frame format; yuv420 ships "
+                             "1.5 B/px I420 (lossy 4:2:0) for "
+                             "bandwidth-limited links")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-stage runtime report (device vs "
+                             "host/wire time); set $VU_TRACE_DIR for a "
+                             "JAX profiler trace")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -23,6 +36,7 @@ if __name__ == "__main__":
                               frame_range=args.range, src_tmpl="*.jpg")
     if args.fused:
         from video_unscreen_tpu.pipeline.fused_bg import run_fused
-        run_fused(cfg, chunk_size=args.chunk)
+        run_fused(cfg, chunk_size=args.chunk, segments=args.segments,
+                  wire=args.wire, profile=args.profile)
     else:
         run_bg(cfg)

@@ -16,6 +16,10 @@ if __name__ == "__main__":
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--stages", type=str, default="1,2,3",
                         help="comma-separated stage list, e.g. 2,3")
+    parser.add_argument("--modular", action="store_true",
+                        help="per-frame agent loop instead of the "
+                             "compiled-scan fused stages")
+    parser.add_argument("--chunk", type=int, default=4)
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -23,4 +27,5 @@ if __name__ == "__main__":
                               data_root=args.data_root,
                               frame_range=args.range, src_tmpl="*.jpg")
     stages = tuple(int(s) for s in args.stages.split(","))
-    run_bg_offline(cfg, stages=stages)
+    run_bg_offline(cfg, stages=stages, fused=not args.modular,
+                   chunk_size=args.chunk)

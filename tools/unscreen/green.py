@@ -17,6 +17,19 @@ if __name__ == "__main__":
                         help="run the compiled single-program pipeline "
                              "(device-resident, fastest)")
     parser.add_argument("--chunk", type=int, default=8)
+    parser.add_argument("--segments", type=int, default=1,
+                        help="batch N independent clip segments through "
+                             "one compiled scan (fused path; carries "
+                             "reset at segment boundaries)")
+    parser.add_argument("--wire", type=str, default="bgr",
+                        choices=("bgr", "yuv420"),
+                        help="host->device frame format; yuv420 ships "
+                             "1.5 B/px I420 (lossy 4:2:0) for "
+                             "bandwidth-limited links")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-stage runtime report (device vs "
+                             "host/wire time); set $VU_TRACE_DIR for a "
+                             "JAX profiler trace")
     args = parser.parse_args()
 
     cfg = load_config(args.cfg)
@@ -25,6 +38,7 @@ if __name__ == "__main__":
                               frame_range=args.range, src_tmpl="*.*")
     if args.fused:
         from video_unscreen_tpu.pipeline.fused_green import run_fused
-        run_fused(cfg, chunk_size=args.chunk)
+        run_fused(cfg, chunk_size=args.chunk, segments=args.segments,
+                  wire=args.wire, profile=args.profile)
     else:
         run_green(cfg)

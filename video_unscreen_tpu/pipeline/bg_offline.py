@@ -155,8 +155,105 @@ def _stage3(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir, save):
     return alphas
 
 
+def _chunked_scan(process_chunk, init_carry, arrays, chunk_size=4):
+    """Drive a compiled per-frame scan over host arrays in fixed-shape
+    chunks (tail padded), returning the stacked packed outputs."""
+    n = arrays[0].shape[0]
+    carry = init_carry
+    outs = []
+    for c0 in range(0, n, chunk_size):
+        cn = min(chunk_size, n - c0)
+        chunk = []
+        for arr in arrays:
+            part = arr[c0:c0 + cn]
+            if cn < chunk_size:
+                part = np.concatenate(
+                    [part] + [part[-1:]] * (chunk_size - cn))
+            chunk.append(jnp.asarray(part))
+        carry, packed = process_chunk(carry, *chunk)
+        outs.append(np.asarray(packed)[:cn])
+    return np.concatenate(outs)
+
+
+def _stage1_fused(cfg, frame_list, dst_dir, save, work_long_side,
+                  chunk_size=4, use_stm_tracking=True):
+    """Stage 1 through `FusedBgPipeline.process_chunk_stage1` — one
+    compiled scan per chunk instead of the per-stage host round-trips
+    (`bg_offline.py:51-97`), identical artifact contract at work res."""
+    from .fused_bg import FusedBgPipeline
+
+    h, w, _ = frame_list[0].shape
+    pipe = FusedBgPipeline(cfg, (h, w), work_long_side=work_long_side,
+                           use_stm_tracking=use_stm_tracking)
+    wh = (pipe.work_hw[1], pipe.work_hw[0])
+    frames_w = np.stack([
+        cv2.resize(np.asarray(f, np.uint8), wh)
+        if f.shape[:2] != pipe.work_hw else np.asarray(f, np.uint8)
+        for f in frame_list])
+    packed = _chunked_scan(pipe.process_chunk_stage1, pipe.init_carry(),
+                           [frames_w], chunk_size)
+    mask_list, bg_list = [], []
+    for fid in range(packed.shape[0]):
+        segmask = packed[fid, ..., 0]
+        bgimg = packed[fid, ..., 1:4]
+        mask_list.append(np.stack([segmask] * 3, axis=2))
+        bg_list.append(bgimg)
+        if save:
+            save_img(artifact_path(dst_dir, "segmask", fid), segmask)
+            save_img(artifact_path(dst_dir, "bg", fid), bgimg)
+    return mask_list, bg_list, pipe
+
+
+def _stage3_fused(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir,
+                  save, work_long_side, pipe=None, chunk_size=4,
+                  use_stm_tracking=True):
+    """Stage 3 through `FusedBgPipeline.process_chunk_stage3`
+    (`bg_offline.py:133-177`): host does only the beta-fusion of
+    per-frame and global bg; diff mask + matting + fg run in the scan."""
+    from .fused_bg import FusedBgPipeline
+
+    h, w, _ = frame_list[0].shape
+    if pipe is None:
+        pipe = FusedBgPipeline(cfg, (h, w), work_long_side=work_long_side,
+                               use_stm_tracking=use_stm_tracking)
+    wh = (pipe.work_hw[1], pipe.work_hw[0])
+
+    def to_work(img):
+        img = np.asarray(img, np.uint8)
+        return (cv2.resize(img, wh) if img.shape[:2] != pipe.work_hw
+                else img)
+
+    frames_w = np.stack([to_work(f) for f in frame_list])
+    beta = float(cfg["bg_mask"]["fusion_weight"])
+    bg_always_w = to_work(bg_always).astype(np.float32)
+    bgs_fused = np.stack([
+        (to_work(b).astype(np.float32) * beta
+         + (1.0 - beta) * bg_always_w).astype(np.uint8)
+        for b in bg_list])
+    segmasks = np.stack([
+        cv2.cvtColor(to_work(m), cv2.COLOR_BGR2GRAY) for m in mask_list])
+    packed = _chunked_scan(pipe.process_chunk_stage3, pipe.init_carry(),
+                           [frames_w, bgs_fused, segmasks], chunk_size)
+    alphas = []
+    for fid in range(packed.shape[0]):
+        alpha = packed[fid, ..., 0]
+        alphas.append(alpha)
+        if save:
+            save_img(artifact_path(dst_dir, "alphamask", fid), alpha)
+            save_img(artifact_path(dst_dir, "fg", fid),
+                     packed[fid, ..., 1:4])
+    return alphas
+
+
 def run(cfg: dict, frames=None, save: bool = True,
-        stages=(1, 2, 3)) -> dict:
+        stages=(1, 2, 3), fused: bool = True,
+        work_long_side: int = 960, chunk_size: int = 4,
+        use_stm_tracking: bool = True) -> dict:
+    """bg_step driver. `fused=True` (default) runs stages 1 and 3 through
+    compiled scans (`FusedBgPipeline.process_chunk_stage{1,3}`); stage 2
+    (one temporal mean + one membrane fill per clip) stays host-side.
+    `fused=False` keeps the modular per-frame agent loop. Both share the
+    stage/artifact resume contract (`bg_offline.py:101-103,134-139`)."""
     data = cfg["data"]
     dst_dir = data["dst_img_dir"]
     if save:
@@ -165,9 +262,15 @@ def run(cfg: dict, frames=None, save: bool = True,
 
     frame_list = frames if frames is not None else read_frames(cfg)
     mask_list, bg_list, bg_always, alphas = [], [], None, []
+    pipe = None
 
     if 1 in stages:
-        mask_list, bg_list = _stage1(cfg, frame_list, dst_dir, save)
+        if fused:
+            mask_list, bg_list, pipe = _stage1_fused(
+                cfg, frame_list, dst_dir, save, work_long_side, chunk_size,
+                use_stm_tracking=use_stm_tracking)
+        else:
+            mask_list, bg_list = _stage1(cfg, frame_list, dst_dir, save)
     if 2 in stages:
         if not mask_list:  # artifact-store resume (`bg_offline.py:101-103`)
             mask_list = _load_artifacts(dst_dir, "segmask")
@@ -179,8 +282,14 @@ def run(cfg: dict, frames=None, save: bool = True,
             bg_list = _load_artifacts(dst_dir, "bg")
         if bg_always is None:
             bg_always = cv2.imread(bg_always_path)
-        alphas = _stage3(cfg, frame_list, mask_list, bg_list, bg_always,
-                         dst_dir, save)
+        if fused:
+            alphas = _stage3_fused(cfg, frame_list, mask_list, bg_list,
+                                   bg_always, dst_dir, save,
+                                   work_long_side, pipe, chunk_size,
+                                   use_stm_tracking=use_stm_tracking)
+        else:
+            alphas = _stage3(cfg, frame_list, mask_list, bg_list, bg_always,
+                             dst_dir, save)
         if save:
             try:
                 save_video(dst_dir, osp.join(data["dst_vid_dir"],

@@ -89,7 +89,7 @@ class FusedGreenPipeline:
     def __init__(self, cfg: dict, frame_hw: Tuple[int, int],
                  work_long_side: int = 960, fetch_fg: str = "auto",
                  matting_dtype=jnp.bfloat16, seg_dtype=jnp.bfloat16,
-                 wire: str = "yuv420"):
+                 wire: str = "bgr"):
         """`fetch_fg`: where the fg artifact materializes.
           - "device": fg computed and fetched from the device (preferred on
             PCIe-attached hosts).
@@ -103,9 +103,12 @@ class FusedGreenPipeline:
         if fetch_fg == "auto":
             fetch_fg = "host" if native_runtime.available() else "device"
         self.fetch_fg = fetch_fg
-        # "yuv420": frames cross the host->HBM link as I420 uint8 (1.5
-        # bytes/px, the format video decoders emit natively) and are
-        # converted to BGR on device; "bgr" ships packed uint8 BGR.
+        # "bgr" (default) ships packed uint8 BGR — lossless parity with
+        # the reference's full-res BGR feed. "yuv420" crosses the
+        # host->HBM link as I420 uint8 (1.5 bytes/px, the format video
+        # decoders emit natively, converted to BGR on device) — the
+        # bench/production opt-in on bandwidth-limited links; it
+        # round-trips through lossy studio-swing BT.601 4:2:0.
         self.wire = wire
         self.cfg = cfg
         self.ori_hw = tuple(frame_hw)
@@ -301,13 +304,17 @@ class FusedGreenPipeline:
 
     # -- host driver ----------------------------------------------------------
     def run_segmented(self, frames, n_segments: int = 2,
-                      chunk_size: int = 4, host_downscale: bool = True):
+                      chunk_size: int = 4, host_downscale: bool = True,
+                      timer=None):
         """Like `run`, but splits the clip into `n_segments` contiguous
         segments advanced in lockstep through `process_chunk_segments`
         (single-chip batching: ~Sx device work per dispatch, same wire
         bytes per frame). Segment boundaries reset the carry — the same
         re-seed the reference performs whenever tracking drops."""
         import cv2
+
+        from ..utils.profiling import StageTimer
+        timer = timer or StageTimer()
 
         frames = list(frames)
         n = len(frames)
@@ -329,33 +336,39 @@ class FusedGreenPipeline:
         device_outs, lengths = [], []
         for c0 in range(0, seg_len, chunk_size):
             cn = min(chunk_size, seg_len - c0)
-            batch = np.stack([
-                np.stack([prep(padded[s * seg_len + c0 + i])
-                          for i in range(cn)]
-                         + [prep(padded[s * seg_len + c0 + cn - 1])]
-                         * (chunk_size - cn))
-                for s in range(n_segments)])
-            carries, (packed, bg_colors) = self.process_chunk_segments(
-                carries, jnp.asarray(batch))
+            with timer.stage("host_prep"):
+                batch = np.stack([
+                    np.stack([prep(padded[s * seg_len + c0 + i])
+                              for i in range(cn)]
+                             + [prep(padded[s * seg_len + c0 + cn - 1])]
+                             * (chunk_size - cn))
+                    for s in range(n_segments)])
+            with timer.stage("dispatch"):
+                carries, (packed, bg_colors) = self.process_chunk_segments(
+                    carries, jnp.asarray(batch))
+                if timer.block:
+                    jax.block_until_ready((packed, bg_colors))
             for buf in (packed, bg_colors):
                 buf.copy_to_host_async()
             device_outs.append((packed, bg_colors))
             lengths.append(cn)
 
         # reassemble: per segment, concatenate chunks, then trim the pad
-        seg_packed = [[] for _ in range(n_segments)]
-        seg_bg = [[] for _ in range(n_segments)]
-        for (packed, bg_colors), cn in zip(device_outs, lengths):
-            p = np.asarray(packed)[:, :cn]
-            b = np.asarray(bg_colors)[:, :cn]
-            for s in range(n_segments):
-                seg_packed[s].append(p[s])
-                seg_bg[s].append(b[s])
-        packed = np.concatenate(
-            [np.concatenate(sp) for sp in seg_packed])[:n]
-        bg_colors = np.concatenate(
-            [np.concatenate(sb) for sb in seg_bg])[:n]
-        return self._assemble_outputs(frames, packed, bg_colors)
+        with timer.stage("fetch"):
+            seg_packed = [[] for _ in range(n_segments)]
+            seg_bg = [[] for _ in range(n_segments)]
+            for (packed, bg_colors), cn in zip(device_outs, lengths):
+                p = np.asarray(packed)[:, :cn]
+                b = np.asarray(bg_colors)[:, :cn]
+                for s in range(n_segments):
+                    seg_packed[s].append(p[s])
+                    seg_bg[s].append(b[s])
+            packed = np.concatenate(
+                [np.concatenate(sp) for sp in seg_packed])[:n]
+            bg_colors = np.concatenate(
+                [np.concatenate(sb) for sb in seg_bg])[:n]
+        with timer.stage("reconstruct"):
+            return self._assemble_outputs(frames, packed, bg_colors)
 
     def _assemble_outputs(self, frames, packed, bg_colors):
         """Host-side artifact reconstruction from the packed d2h tensor:
@@ -378,7 +391,8 @@ class FusedGreenPipeline:
                        bg_colors[:, None, None, :].astype(np.uint8))
         return alphas, fgs, bgs
 
-    def run(self, frames, chunk_size: int = 8, host_downscale: bool = True):
+    def run(self, frames, chunk_size: int = 8, host_downscale: bool = True,
+            timer=None):
         """Stream a clip through the compiled pipeline.
 
         Returns (alphas, fgs, bgs) as uint8 numpy arrays at work res.
@@ -390,6 +404,13 @@ class FusedGreenPipeline:
         - outputs start their d2h copy asynchronously right after each
           chunk's dispatch, overlapping the next chunk's compute.
         - bg frames are reconstructed host-side from (alpha, bg_color).
+
+        `timer` (an optional `utils.profiling.StageTimer`) splits the run
+        into the reference's per-stage report (`green.py:21-28`
+        equivalent): stream_wait / dispatch / fetch / reconstruct — with
+        `timer.block=True` the dispatch stage blocks on the chunk's
+        outputs, so it reads as true device time (at the cost of the
+        overlap the unprofiled run exploits).
         """
         import cv2
 
@@ -405,55 +426,78 @@ class FusedGreenPipeline:
                                  cv2.COLOR_BGR2YUV_I420) for f in arr])
             return arr
 
+        from ..utils.profiling import StageTimer
+        timer = timer or StageTimer()
+
         device_outs = []
         lengths = []
-        streamer = FrameStreamer(frames, chunk_size=chunk_size,
-                                 preprocess=preprocess)
-        for chunk in streamer:
+        streamer = iter(FrameStreamer(frames, chunk_size=chunk_size,
+                                      preprocess=preprocess))
+        while True:
+            with timer.stage("stream_wait"):
+                chunk = next(streamer, None)
+            if chunk is None:
+                break
             n = chunk.shape[0]
             if n < chunk_size:  # pad the tail to the compiled shape
                 pad = jnp.tile(chunk[-1:],
                                (chunk_size - n,) + (1,) * (chunk.ndim - 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
-            carry, (packed, bg_colors) = self.process_chunk(carry, chunk)
-            for buf in (packed, bg_colors):
+            outs = None
+            with timer.stage("dispatch"):
+                carry, (packed, bg_colors) = self.process_chunk(carry,
+                                                                chunk)
+                outs = (packed, bg_colors)
+                if timer.block:
+                    jax.block_until_ready(outs)
+            for buf in outs:
                 buf.copy_to_host_async()
-            device_outs.append((packed, bg_colors))
+            device_outs.append(outs)
             lengths.append(n)
 
         alphas, fgs, bgs = [], [], []
         start = 0
         for (packed, bg_colors), n in zip(device_outs, lengths):
-            p = np.asarray(packed)[:n]
-            bc = np.asarray(bg_colors)[:n]
-            alphas.append(p[..., 0])
-            # work-res frames from the HOST originals (never fetch frames
-            # back over the device->host link)
-            frames_w = np.stack([
-                cv2.resize(np.asarray(f, np.uint8), wh)
-                if f.shape[:2] != self.work_hw else np.asarray(f, np.uint8)
-                for f in frames[start:start + n]])
-            start += n
-            if self.fetch_fg == "device":
-                fgs.append(p[..., 1:4])
-            else:
-                from .. import runtime as native_runtime
-                fgs.append(native_runtime.get_fg_batch(
-                    frames_w, p[..., 0], bc))
-            bg = np.where((p[..., :1] < 128), frames_w,
-                          bc[:, None, None, :].astype(np.uint8))
-            bgs.append(bg)
+            with timer.stage("fetch"):
+                p = np.asarray(packed)[:n]
+                bc = np.asarray(bg_colors)[:n]
+            with timer.stage("reconstruct"):
+                alphas.append(p[..., 0])
+                # work-res frames from the HOST originals (never fetch
+                # frames back over the device->host link)
+                frames_w = np.stack([
+                    cv2.resize(np.asarray(f, np.uint8), wh)
+                    if f.shape[:2] != self.work_hw
+                    else np.asarray(f, np.uint8)
+                    for f in frames[start:start + n]])
+                start += n
+                if self.fetch_fg == "device":
+                    fgs.append(p[..., 1:4])
+                else:
+                    from .. import runtime as native_runtime
+                    fgs.append(native_runtime.get_fg_batch(
+                        frames_w, p[..., 0], bc))
+                bg = np.where((p[..., :1] < 128), frames_w,
+                              bc[:, None, None, :].astype(np.uint8))
+                bgs.append(bg)
         return (np.concatenate(alphas), np.concatenate(fgs),
                 np.concatenate(bgs))
 
 
 def run_fused(cfg: dict, frames=None, save: bool = True,
-              chunk_size: int = 8, work_long_side: int = 960) -> dict:
+              chunk_size: int = 8, work_long_side: int = 960,
+              segments: int = 1, wire: str = "bgr",
+              profile: bool = False) -> dict:
     """Driver-compatible green-mode runner on the fused path.
 
     Same artifacts as `pipeline/green.py` (`alphamask_/fg_/bg_*.jpg` at
     work resolution); JPEG encode goes through the native threaded
-    runtime when available.
+    runtime when available. `segments > 1` batches S independent clip
+    segments through one compiled scan (single-chip MXU utilization);
+    `wire` selects the host->device frame format ("bgr" | "yuv420").
+    `profile` prints the reference's per-stage runtime report
+    (`green.py:21-28` equivalent: device time vs host/wire time per
+    frame) and honors $VU_TRACE_DIR for a JAX profiler trace.
     """
     import os
     import time
@@ -461,6 +505,7 @@ def run_fused(cfg: dict, frames=None, save: bool = True,
     from .common import read_frames, artifact_path
     from .. import runtime as native_runtime
     from ..utils.fileio import save_img
+    from ..utils.profiling import StageTimer, maybe_trace
 
     data = cfg["data"]
     if save:
@@ -471,12 +516,24 @@ def run_fused(cfg: dict, frames=None, save: bool = True,
     print(f"{len(frame_list)} frames. Reading Data Done! "
           f"{time.time() - st:.2f}s")
 
-    pipe = FusedGreenPipeline(cfg, (h, w), work_long_side=work_long_side)
+    pipe = FusedGreenPipeline(cfg, (h, w), work_long_side=work_long_side,
+                              wire=wire)
+    timer = StageTimer(block=True) if profile else None
     st = time.time()
-    alphas, fgs, bgs = pipe.run(frame_list, chunk_size=chunk_size)
+    with maybe_trace():
+        if segments > 1:
+            alphas, fgs, bgs = pipe.run_segmented(frame_list,
+                                                  n_segments=segments,
+                                                  chunk_size=chunk_size,
+                                                  timer=timer)
+        else:
+            alphas, fgs, bgs = pipe.run(frame_list, chunk_size=chunk_size,
+                                        timer=timer)
     elapsed = time.time() - st
     print(f"fused green: {len(frame_list)} frames in {elapsed:.2f}s "
           f"({len(frame_list) / elapsed:.2f} fps)")
+    if timer is not None:
+        print(timer.report(numframes=len(frame_list)))
 
     if save:
         dst = data["dst_img_dir"]
