@@ -94,3 +94,24 @@ class TestBRSFunctional:
         mask = agent.forward(img, [(True, 64, 50), (False, 64, 88)])
         # left half of the ellipse (around the positive click) remains fg
         assert (mask[56:72, 44:58] == 255).mean() > 0.8
+
+
+class TestInsertionModes:
+    """All three BRS insertion points run and honor the click contract
+    (`brs_predictor.py:143-162`: after_aspp / after_c4 / after_deeplab)."""
+
+    @pytest.mark.parametrize("mode",
+                             ["after_aspp", "after_c4", "after_deeplab"])
+    def test_forward_runs(self, mode):
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+        agent = ISegAgent(input_long_side=64, with_brs=True,
+                          with_flip=False, brs_maxiter=2,
+                          insertion_mode=mode)
+        mask = agent.forward(img, [(True, 24, 32)])
+        assert mask.shape == (48, 64)
+        assert set(np.unique(mask)) <= {0, 255}
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError):
+            ISegAgent(input_long_side=64, insertion_mode="after_nothing")

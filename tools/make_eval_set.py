@@ -24,10 +24,18 @@ import cv2
 from video_unscreen_tpu.parallel.data_synth import make_eval_clip
 
 CLIPS = (
-    ("green1", "green", 4),
-    ("green2", "green", 11),
-    ("natural1", "natural", 7),
-    ("natural2", "natural", 19),
+    ("green1", "green", 4, "plain"),
+    ("green2", "green", 11, "plain"),
+    ("natural1", "natural", 7, "plain"),
+    ("natural2", "natural", 19, "plain"),
+    # degradation variants (VERDICT round-2 item 5): motion blur, cast
+    # shadow, JPEG artifacts, occluding prop, two people
+    ("green_mblur", "green", 23, "motion_blur"),
+    ("green_jpeg", "green", 31, "jpeg"),
+    ("green_twop", "green", 37, "two_person"),
+    ("natural_shadow", "natural", 29, "shadow"),
+    ("natural_occl", "natural", 41, "occluder"),
+    ("natural_twop", "natural", 43, "two_person"),
 )
 
 if __name__ == "__main__":
@@ -39,9 +47,10 @@ if __name__ == "__main__":
     args = parser.parse_args()
 
     root = args.data_root
-    for vid, kind, seed in CLIPS:
+    for vid, kind, seed, variant in CLIPS:
         frames, gts = make_eval_clip(kind, n=args.frames, h=args.height,
-                                     w=args.width, seed=seed)
+                                     w=args.width, seed=seed,
+                                     variant=variant)
         src = osp.join(root, "src_img", vid)
         gtd = osp.join(root, "alpha_img", vid)
         os.makedirs(src, exist_ok=True)
@@ -55,8 +64,9 @@ if __name__ == "__main__":
     meta = osp.join(root, "meta")
     os.makedirs(meta, exist_ok=True)
     with open(osp.join(meta, "vid_list.txt"), "w") as fh:
-        fh.write("\n".join(v for v, _, _ in CLIPS) + "\n")
+        fh.write("\n".join(v for v, _, _, _ in CLIPS) + "\n")
     for kind in ("green", "natural"):
         with open(osp.join(meta, f"vid_list_{kind}.txt"), "w") as fh:
-            fh.write("\n".join(v for v, k, _ in CLIPS if k == kind) + "\n")
+            fh.write("\n".join(v for v, k, _, _ in CLIPS if k == kind)
+                     + "\n")
     print(f"eval set ready under {root}")

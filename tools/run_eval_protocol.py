@@ -60,11 +60,13 @@ def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4):
                 run_bg(cfg)
         elif mode == "bg_step":
             from video_unscreen_tpu.pipeline import run_bg_offline
-            run_bg_offline(cfg)
+            run_bg_offline(cfg, fused=fused,
+                           work_long_side=work_long_side,
+                           chunk_size=chunk)
         print(f"[{mode}] {vid}: {time.time() - st:.1f}s")
 
 
-def score_mode(mode, root):
+def score_mode(mode, root, results_dir):
     kind = "green" if mode == "green" else "natural"
     cfg = {"data": {
         "range": None,
@@ -73,7 +75,7 @@ def score_mode(mode, root):
         "gt_data_tmpl": "*.*",
         "pred_data_dir": osp.join(root, f"test_{mode}_img"),
         "pred_data_tmpl": "alphamask_*.*",
-        "save_data_fn": osp.join(root, f"results/test_{mode}.txt"),
+        "save_data_fn": osp.join(results_dir, f"test_{mode}.txt"),
     }}
     return run_eval(cfg)
 
@@ -88,6 +90,11 @@ if __name__ == "__main__":
     parser.add_argument("--work_long_side", type=int, default=512)
     parser.add_argument("--modular", action="store_true",
                         help="use the modular (unfused) drivers")
+    parser.add_argument("--results_dir", type=str, default="./results",
+                        help="where the reference-format result txts and "
+                             "the markdown table land (committed into "
+                             "the repo — `tools/eval.py:53-54,111` "
+                             "writes results/<exp>.txt)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -95,18 +102,20 @@ if __name__ == "__main__":
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
     root = args.data_root
     ensure_eval_set(root, args.frames, args.height, args.width)
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
+    os.makedirs(args.results_dir, exist_ok=True)
     rows = {}
     for mode in modes:
         kind = "green" if mode == "green" else "natural"
         vids = read_list(root, kind)
         run_mode(mode, root, vids, fused=not args.modular,
                  work_long_side=args.work_long_side)
-        rows[mode] = score_mode(mode, root)
+        rows[mode] = score_mode(mode, root, args.results_dir)
 
     # combined markdown table (goes into PARITY.md)
     lines = ["| mode | clip | MIOU | SAD | MSE | GRAD | CONN |",
@@ -117,7 +126,6 @@ if __name__ == "__main__":
                 f"| {mode} | {vid} | {m['miou']:.4f} | {m['sad']:.3f} | "
                 f"{m['mse']:.4f} | {m['grad']:.3f} | {m['conn']:.3f} |")
     table = "\n".join(lines)
-    os.makedirs(osp.join(root, "results"), exist_ok=True)
-    with open(osp.join(root, "results", "protocol.md"), "w") as fh:
+    with open(osp.join(args.results_dir, "protocol.md"), "w") as fh:
         fh.write(table + "\n")
     print(table)

@@ -33,12 +33,16 @@ if __name__ == "__main__":
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--init_from", type=str, default=None,
                         help="fine-tune from saved variables")
+    parser.add_argument("--save_every", type=int, default=0,
+                        help="checkpoint to --out every N steps (0 = "
+                             "only at the end)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     mesh = make_mesh()
     print(f"mesh: {dict(mesh.shape)} on {jax.default_backend()}")
 
@@ -57,6 +61,11 @@ if __name__ == "__main__":
                                batch_stats=vs["batch_stats"])
     train_step = make_seg_train_step(model, optimizer, mesh)
 
+    def checkpoint():
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        save_variables(args.out, variables)
+
     rng = np.random.RandomState(args.seed)
     t0 = time.time()
     with mesh:
@@ -67,8 +76,9 @@ if __name__ == "__main__":
             if step % args.log_every == 0 or step == args.steps - 1:
                 print(f"step {step:5d} loss {float(loss):.4f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+            if args.save_every and step and step % args.save_every == 0:
+                checkpoint()
+                print(f"checkpoint @ step {step}", flush=True)
 
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
-    save_variables(args.out, variables)
+    checkpoint()
     print(f"saved {args.out}")

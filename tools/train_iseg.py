@@ -32,6 +32,7 @@ if __name__ == "__main__":
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     mesh = make_mesh()
     print(f"mesh: {dict(mesh.shape)} on {jax.default_backend()}")
 

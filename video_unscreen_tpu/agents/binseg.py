@@ -227,6 +227,19 @@ class HumanSegAgent:
                  dtype=jnp.float32,
                  seed: int = 0,
                  layers=(3, 4, 23, 3)):
+        # parity-only kwargs: the SCHP path is a single whole-frame affine
+        # warp (no grid TTA — the reference's grid path is dead code with
+        # a pdb trap, `agent_human.py:218-227`), so these knobs have no
+        # effect; warn instead of silently accepting non-default values
+        import warnings
+        for name, val, default in (("downscale", downscale, 1),
+                                   ("stride_ratio", stride_ratio, 0.5),
+                                   ("flip", flip, True)):
+            if val != default:
+                warnings.warn(
+                    f"HumanSegAgent ignores {name!r} (accepted for "
+                    f"SegAgent config parity only; SCHP runs one "
+                    f"whole-frame affine warp)", stacklevel=2)
         self.model = SCHPHumanParser(num_classes=20, layers=tuple(layers),
                                      dtype=dtype)
         self.input_size = (int(crop_h), int(crop_w))

@@ -71,7 +71,18 @@ class ISegAgent:
                  cuda_device: int = 0, max_clicks: int = 20,
                  brs_reg_weight: float = 1e-3,
                  brs_reg_bias_weight: float = 10.0,
-                 brs_maxiter: int = 20, dtype=jnp.float32, seed: int = 0):
+                 brs_maxiter: int = 20,
+                 insertion_mode: str = "after_aspp",
+                 dtype=jnp.float32, seed: int = 0):
+        """`insertion_mode`: where BRS perturbs features — "after_aspp"
+        (ASPP+skip concat, the reference default), "after_c4" (backbone
+        output; ASPP re-runs inside the optimization), or
+        "after_deeplab" (post-head; only the inst head re-runs) —
+        `brs_predictor.py:143-162`."""
+        if insertion_mode not in ("after_aspp", "after_c4",
+                                  "after_deeplab"):
+            raise ValueError(f"unknown insertion_mode {insertion_mode!r}")
+        self.insertion_mode = insertion_mode
         self.model = DistMapsModel(dtype=dtype)
         self.input_long_side = int(input_long_side)
         self.prob_thresh = float(prob_thresh)
@@ -103,16 +114,20 @@ class ISegAgent:
     def device_predict_brs(self, variables, batch_img, hw, points,
                            pos_map, neg_map):
         """BRS prediction: optimize per-channel (scale, bias) on the
-        after_aspp features so the output agrees with the clicks."""
-        feats = self.model.apply(variables, batch_img, points,
-                                 method=lambda m, i, p: m.features(i, p))
+        configured insertion point's features so the output agrees with
+        the clicks."""
+        mode = self.insertion_mode
+        feats, aux = self.model.apply(
+            variables, batch_img, points,
+            method=lambda m, i, p: m.features(i, p,
+                                              insertion_mode=mode))
         c = feats.shape[-1]
 
         def predict(scale, bias):
             return self.model.apply(
                 variables, feats, hw, scale, bias,
                 method=lambda m, f, o, s, b: m.logits_from_features(
-                    f, o, s, b))
+                    f, o, s, b, insertion_mode=mode, aux=aux))
 
         def objective(x):
             scale, bias = x[:c], x[c:]

@@ -32,15 +32,20 @@ class VMattingAgent:
     def __init__(self, model_path: Optional[str] = None,
                  input_long_side: int = 960, cuda_device: int = 0,
                  dtype=jnp.float32, seed: int = 0,
-                 fold_spectral_norm: bool = False):
+                 fold_spectral_norm: Optional[bool] = None):
         """`fold_spectral_norm` divides every conv kernel by its leading
         singular value — the constant-at-inference form of the reference's
         SpectralNorm wrappers (`vmatting/model.py:45-113`). It is ONLY
-        correct for weights imported from a torch checkpoint that stored
-        raw (pre-SN) kernels; the natively trained .msgpack weights this
-        framework ships were optimized WITHOUT SN in the forward, so
+        correct for weights that stored raw (pre-SN) kernels, e.g. a
+        converted torch checkpoint; the natively trained .msgpack weights
+        this framework ships were optimized WITHOUT SN in the forward, so
         folding them runs a different (weight-shrunk) function — the net
-        then hedges mid-gray across the trimap band."""
+        then hedges mid-gray across the trimap band.
+
+        Default None = infer from a `<model_path>.meta.json` sidecar
+        (key `"pre_spectral_norm": true` marks converted raw-kernel
+        checkpoints); absent sidecar means natively trained -> no fold.
+        Pass an explicit bool to override either way (ADVICE round-2)."""
         if input_long_side % self.DIVISION != 0:
             input_long_side = (input_long_side // self.DIVISION + 1
                                ) * self.DIVISION
@@ -51,11 +56,25 @@ class VMattingAgent:
             jax.random.PRNGKey(seed), z, z[..., :1], z)
         if model_path:
             self.variables = load_variables(model_path, self.variables)
+        if fold_spectral_norm is None:
+            fold_spectral_norm = bool(
+                model_path and self._sidecar_meta(model_path).get(
+                    "pre_spectral_norm", False))
         if fold_spectral_norm:
             # inference-time fold of the reference's SpectralNorm wrappers
             self.variables = dict(self.variables)
             self.variables["params"] = spectral_normalize_tree(
                 self.variables["params"])
+
+    @staticmethod
+    def _sidecar_meta(model_path: str) -> dict:
+        import json
+        import os.path as osp
+        meta_path = f"{model_path}.meta.json"
+        if osp.exists(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        return {}
 
     def device_forward_impl(self, variables, img: jax.Array,
                             alpha_pre: jax.Array, trimap: jax.Array,

@@ -97,16 +97,26 @@ class BRSDeepLabV3Plus(nn.Module):
         self.head_module = SepConvHead(self.ch, self.ch, num_layers=2,
                                        dtype=self.dtype)
 
-    def features(self, x, train: bool = False):
+    def backbone_feats(self, x, train: bool = False):
+        """(skip, c4): the `after_c4` insertion point plus the unperturbed
+        skip branch needed to finish from it."""
         feats = self.backbone(x, train)
         c1, c4 = feats["c1"], feats["c4"]
         skip = self.skip_conv(c1)
         skip = self.skip_bn(skip, use_running_average=not train)
         skip = nn.relu(skip)
+        return skip, c4
+
+    def aspp_concat(self, skip, c4, train: bool = False):
+        """ASPP at c4, upsampled and concatenated with the skip branch —
+        the `after_aspp` tensor (ch + 32)."""
         a = self.aspp(c4, train)
         n, h, w, _ = skip.shape
         a = jax.image.resize(a, (n, h, w, a.shape[-1]), method="linear")
         return jnp.concatenate([a, skip], axis=-1)  # (N, H/4, W/4, ch+32)
+
+    def features(self, x, train: bool = False):
+        return self.aspp_concat(*self.backbone_feats(x, train), train)
 
     def head(self, after_aspp, train: bool = False):
         return self.head_module(after_aspp, train)
@@ -138,21 +148,44 @@ class DistMapsModel(nn.Module):
         x = self.rgb_bn(x, use_running_average=not train)
         return self.rgb_conv2(x)
 
-    def features(self, image, points, train: bool = False):
-        """`after_aspp` features (the BRS insertion point)."""
-        return self.feature_extractor.features(
-            self._fuse(image, points, train), train)
+    def features(self, image, points, train: bool = False,
+                 insertion_mode: str = "after_aspp"):
+        """Features at the BRS insertion point (`brs_predictor.py:143-162`
+        offers after_aspp / after_c4 / after_deeplab).
 
-    def logits_from_features(self, after_aspp, out_hw,
+        Returns (feats, aux): `feats` is the tensor the optimizer
+        perturbs; `aux` carries the unperturbed side branch needed to
+        finish (the skip tensor for after_c4, else None).
+        """
+        x = self._fuse(image, points, train)
+        skip, c4 = self.feature_extractor.backbone_feats(x, train)
+        if insertion_mode == "after_c4":
+            return c4, skip
+        after_aspp = self.feature_extractor.aspp_concat(skip, c4, train)
+        if insertion_mode == "after_aspp":
+            return after_aspp, None
+        if insertion_mode == "after_deeplab":
+            return self.feature_extractor.head(after_aspp, train), None
+        raise ValueError(f"unknown insertion_mode {insertion_mode!r}")
+
+    def logits_from_features(self, feats, out_hw,
                              scale: Optional[jax.Array] = None,
                              bias: Optional[jax.Array] = None,
-                             train: bool = False):
+                             train: bool = False,
+                             insertion_mode: str = "after_aspp",
+                             aux: Optional[jax.Array] = None):
         """Finish the forward from the insertion point, optionally applying
         the per-channel BRS perturbation feats*(1+scale)+bias
         (`brs_optimizer.py:118-133`)."""
         if scale is not None:
-            after_aspp = after_aspp * (1.0 + scale) + bias
-        feats = self.feature_extractor.head(after_aspp, train)
+            feats = feats * (1.0 + scale) + bias
+        if insertion_mode == "after_c4":
+            feats = self.feature_extractor.aspp_concat(aux, feats, train)
+            insertion_mode = "after_aspp"
+        if insertion_mode == "after_aspp":
+            feats = self.feature_extractor.head(feats, train)
+        elif insertion_mode != "after_deeplab":
+            raise ValueError(f"unknown insertion_mode {insertion_mode!r}")
         out = self.inst_head(feats, train)
         n = out.shape[0]
         return jax.image.resize(out, (n,) + tuple(out_hw) + (1,),
@@ -161,5 +194,5 @@ class DistMapsModel(nn.Module):
     def __call__(self, image, points, train: bool = False):
         """image: (B, H, W, 3) normalized; points: (B, N, 3)."""
         h, w = image.shape[1:3]
-        after_aspp = self.features(image, points, train)
+        after_aspp, _ = self.features(image, points, train)
         return self.logits_from_features(after_aspp, (h, w), train=train)

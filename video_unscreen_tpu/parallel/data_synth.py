@@ -153,9 +153,13 @@ def draw_person(rng: np.random.RandomState, h: int, w: int,
     return img, parts
 
 
-def make_nongreen_clip(n=5, h=96, w=128, seed=0, person_scale=0.7):
+def make_nongreen_clip(n=5, h=96, w=128, seed=0, person_scale=0.7,
+                       walk=False):
     """Synthetic non-green clip: a walking person over a textured natural
     background (the bg-mode workload — reference `tools/unscreen/bg.py`).
+
+    `walk=True` articulates the limbs with a walking phase per frame
+    (harder tracking: the silhouette deforms, not just translates).
 
     Returns (frames uint8 BGR list, gt alpha uint8 list, parts list)."""
     rng = np.random.RandomState(seed)
@@ -168,7 +172,9 @@ def make_nongreen_clip(n=5, h=96, w=128, seed=0, person_scale=0.7):
     state = rng.get_state()
     for t in range(n):
         rng.set_state(state)  # same person geometry each frame...
-        person, parts = draw_person(rng, h, w, scale=person_scale)
+        phase = (2.0 * np.pi * t / 8.0) if walk else None
+        person, parts = draw_person(rng, h, w, scale=person_scale,
+                                    phase=phase)
         shift = int(round(2.0 * t))  # ...translated across frames
         person = np.roll(person, shift, axis=1)
         parts = np.roll(parts, shift, axis=1)
@@ -195,11 +201,27 @@ def render_soft_person(rng: np.random.RandomState, h: int, w: int,
     return img, alpha
 
 
+EVAL_VARIANTS = ("plain", "motion_blur", "shadow", "jpeg", "occluder",
+                 "two_person")
+
+
 def make_eval_clip(kind: str = "green", n: int = 12, h: int = 288,
-                   w: int = 512, seed: int = 0, ss: int = 4):
+                   w: int = 512, seed: int = 0, ss: int = 4,
+                   variant: str = "plain"):
     """Eval-protocol clip (VERDICT round-1 item 4): a walking person with
     soft hair-wisp boundaries and limb motion over a gradient-lit green
     screen ("green") or textured natural background ("natural").
+
+    `variant` (VERDICT round-2 item 5 — degradations real footage has):
+      - "motion_blur": the person layer is directionally blurred by its
+        per-frame displacement before compositing.
+      - "shadow": the subject casts a soft offset shadow on the bg.
+      - "jpeg": the composite round-trips JPEG at quality 40-60.
+      - "occluder": a static foreground pillar the person walks behind
+        (GT alpha excludes the occluded band; exercises tracking
+        re-seeds).
+      - "two_person": a second, smaller walker in counter-phase; GT is
+        the union.
 
     Returns (frames uint8 BGR list, GT soft alphas uint8 list).
     """
@@ -218,7 +240,26 @@ def make_eval_clip(kind: str = "green", n: int = 12, h: int = 288,
     bg = (bg * gy).clip(0, 1)
     scale = rng.uniform(0.55, 0.8)
     state = rng.get_state()
+
+    if variant == "occluder":
+        # static pillar in the walker's path, never green (it must key as
+        # foreground-colored background, the hard case)
+        px0 = int(w * rng.uniform(0.45, 0.55))
+        pw = int(w * rng.uniform(0.05, 0.09))
+        pillar_mask = np.zeros((h, w), np.float32)
+        pillar_mask[:, px0:px0 + pw] = 1.0
+        pillar_color = np.array([rng.uniform(0.3, 0.6),
+                                 rng.uniform(0.1, 0.25),
+                                 rng.uniform(0.3, 0.6)], np.float32)
+        pillar = (pillar_color[None, None]
+                  * (0.8 + 0.4 * _smooth_noise(rng, h, w, 12)))
+    if variant == "two_person":
+        scale2 = scale * rng.uniform(0.55, 0.75)
+        seed2 = rng.randint(1 << 31)
+    jpeg_q = int(rng.uniform(40, 60))
+
     frames, gts = [], []
+    prev_cx = None
     for t in range(n):
         rng.set_state(state)  # same body geometry, varying pose/position
         cxf = 0.32 + 0.36 * t / max(n - 1, 1)
@@ -226,10 +267,45 @@ def make_eval_clip(kind: str = "green", n: int = 12, h: int = 288,
                                         phase=2.0 * np.pi * t / 8.0,
                                         cx_frac=cxf,
                                         avoid_green=(kind == "green"))
-        comp = alpha[..., None] * img + (1 - alpha[..., None]) * bg
+        if variant == "motion_blur":
+            # directional blur over the inter-frame displacement
+            dx = 0 if prev_cx is None else int(round((cxf - prev_cx) * w))
+            ksz = min(max(abs(dx), 1), max(w // 40, 3)) * 2 + 1
+            kern = np.zeros((1, ksz), np.float32)
+            kern[0, :] = 1.0 / ksz
+            img = cv2.filter2D(img, -1, kern)
+            alpha = cv2.filter2D(alpha, -1, kern)
+            prev_cx = cxf
+        if variant == "two_person":
+            rng2 = np.random.RandomState(seed2)
+            cxf2 = 0.72 - 0.3 * t / max(n - 1, 1)  # walks the other way
+            img2, alpha2 = render_soft_person(
+                rng2, h, w, ss=ss, scale=scale2,
+                phase=np.pi + 2.0 * np.pi * t / 8.0, cx_frac=cxf2,
+                avoid_green=(kind == "green"))
+            # person 1 in front of person 2
+            img = (alpha[..., None] * img
+                   + (1 - alpha[..., None]) * alpha2[..., None] * img2)
+            alpha = np.maximum(alpha, alpha2)
+        comp_bg = bg
+        if variant == "shadow":
+            sh = np.roll(alpha, (int(0.04 * h), int(0.06 * w)), (0, 1))
+            sh = cv2.GaussianBlur(sh, (0, 0), max(h / 72.0, 1.0))
+            comp_bg = bg * (1.0 - 0.45 * sh[..., None])
+        comp = alpha[..., None] * img + (1 - alpha[..., None]) * comp_bg
+        if variant == "occluder":
+            comp = (pillar_mask[..., None] * pillar
+                    + (1 - pillar_mask[..., None]) * comp)
+            alpha = alpha * (1.0 - pillar_mask)
         comp = comp + np.random.RandomState(seed + 500 + t).randn(
             h, w, 3).astype(np.float32) * 0.01
-        frames.append((comp.clip(0, 1) * 255).astype(np.uint8))
+        frame = (comp.clip(0, 1) * 255).astype(np.uint8)
+        if variant == "jpeg":
+            ok, enc = cv2.imencode(".jpg", frame,
+                                   [cv2.IMWRITE_JPEG_QUALITY, jpeg_q])
+            assert ok
+            frame = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        frames.append(frame)
         gts.append((alpha * 255).astype(np.uint8))
     return frames, gts
 

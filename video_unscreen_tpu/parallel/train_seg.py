@@ -51,6 +51,14 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             bg += _smooth_noise(rng, sh, sw, 16) * 0.1
         else:
             bg = _smooth_noise(rng, sh, sw)
+        # vertical lighting gradient on EVERY background — real footage
+        # (and the eval clips) is gradient-lit; without this, empty
+        # gradient-lit green crops are OOD and the net hallucinates
+        # foreground on them (round-2 grid-TTA failure: 0.23-0.30
+        # phantom fg on gt-empty crops)
+        gy = np.linspace(rng.uniform(0.7, 1.0), rng.uniform(0.9, 1.25),
+                         sh, dtype=np.float32)[:, None, None]
+        bg = (bg * gy).clip(0, 1)
         kind = rng.rand()
         if kind < 0.12:
             # EMPTY scene — no subject at all. Anchors the calibration of
