@@ -39,8 +39,14 @@ class STMAgent:
     def __init__(self, model_path: Optional[str] = None,
                  input_long_side: int = 960, memory_step: int = 2,
                  memory_capacity: int = 10, cuda_device: int = 0,
-                 dtype=jnp.float32, seed: int = 0):
-        self.model = STM(dtype=dtype)
+                 dtype=jnp.float32, seed: int = 0,
+                 pallas_attention=None):
+        """`pallas_attention`: None = auto (flash kernel on TPU, einsum
+        elsewhere); False forces the einsum memory read — required when
+        the model runs inside another program's `lax.cond` branch (XLA's
+        scoped-VMEM accounting rejects the custom call there, see
+        `pipeline/fused_bg.py`)."""
+        self.model = STM(dtype=dtype, pallas_attention=pallas_attention)
         self.input_long_side = int(input_long_side)
         self.memory_step = int(memory_step)
         self.memory_capacity = int(memory_capacity)

@@ -143,7 +143,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# The kernel's true VMEM need is the double-buffered blocks + scratch
+# (a few MB at the default tiles). Declaring a large limit here is
+# counterproductive: XLA reserves the declared bytes as scoped stack ON
+# TOP of the kernel's operands/outputs, and the fused bg program OOMed
+# scoped VMEM at 100MB declared (106.59M asked vs 100M cap) — so declare
+# only what the tiles can actually touch.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _pad_inputs(q, k, v, kv_mask, q_tile, k_tile):

@@ -75,7 +75,11 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
             # cartoon edges are OOD)
             if rng.rand() < 0.5:
                 from .data_synth import render_soft_person
-                fg, alpha = render_soft_person(rng, sh, sw, ss=2)
+                # ss=4 half the time: zoomed grid views inspect the
+                # boundary at ~2x, where an ss=2 render's edges are
+                # visibly coarser than the eval clips' ss=4
+                fg, alpha = render_soft_person(rng, sh, sw,
+                                               ss=int(rng.choice([2, 4])))
             else:
                 from .data_synth import draw_person
                 fg, parts = draw_person(rng, sh, sw)
@@ -126,6 +130,13 @@ def make_seg_batch(rng: np.random.RandomState, batch: int,
                     break
             img = img[y0:y0 + h, x0:x0 + w]
             alpha = alpha[y0:y0 + h, x0:x0 + w]
+        if rng.rand() < 0.5:
+            # horizontal flip augmentation: the TTA ensemble averages
+            # flipped views, and un-augmented weights predicted the SAME
+            # crop very differently flipped vs not (fgIoU 0.55 vs 0.70)
+            # — that disagreement flattens the averaged boundary
+            img = img[:, ::-1]
+            alpha = alpha[:, ::-1]
         rgb = (img[..., ::-1] - mean) / std
         imgs.append(rgb)
         labels.append((alpha > 0.5).astype(np.int32))

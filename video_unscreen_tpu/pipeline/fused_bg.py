@@ -80,9 +80,16 @@ class FusedBgPipeline:
             input_long_side=work_long_side, dtype=matting_dtype)
         self.use_stm = bool(use_stm_tracking)
         if self.use_stm:
+            # einsum memory read: the STM call sits inside the scan's
+            # tracking `lax.cond`, where XLA's scoped-VMEM accounting
+            # rejects the Pallas custom call (106MB phantom stack ask);
+            # the bg-mode bank is a single slot (`bg.py:53` semantics),
+            # so the dense (HW/256)^2 score matrix is small anyway. The
+            # flash kernel stays on the standalone STMAgent's ring-bank
+            # scan, where it compiles and runs fine.
             self.stm = STMAgent(model_path=cfg["stm"].get("model_path"),
                                 input_long_side=work_long_side,
-                                dtype=stm_dtype)
+                                dtype=stm_dtype, pallas_attention=False)
         # seed segmenter for non-tracking frames (reference bg mode runs
         # the SCHP HumanSegAgent there, `tools/unscreen/bg.py:56`)
         self.seg = _build_seed_segmenter(cfg.get("binseg", {}), seg_dtype)
