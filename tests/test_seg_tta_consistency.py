@@ -1,11 +1,19 @@
-"""Grid-crop TTA must match whole-image quality (VERDICT round-1 item 5).
+"""Grid-crop TTA must match whole-image quality AT THE SHIPPED OPERATING
+POINT (VERDICT round-1 item 5 / round-2 item 1).
 
 The reference's shipped TTA is a sliding 513x513 grid at stride 0.5 over
 a 962-long-side resize plus horizontal flips
-(`unscreen/binseg/agent.py:102-174`, `configs/green.json:6-13`). Round-1
-weights were whole-image-only (grid views were OOD); these tests gate the
-crop-consistent retraining: same image, grid-TTA MIOU within 0.02 of
-whole-image MIOU, at the reference's crop/input ratio (513/962 = 0.53).
+(`unscreen/binseg/agent.py:102-174`, `configs/green.json` with no crop
+keys = the 513 default). This gate measures exactly that geometry.
+
+Round-2 note: an earlier version of this gate miniaturized the geometry
+to 137-px crops of a 256 input (same 513/962 ratio) to keep CI light —
+that was a MISMEASUREMENT: the DeepLabV3+ ASPP dilation rates (12,24,36
+at output stride 8, `modeling.py:9-14`) are tuned for 513-px crops; at
+137 px the dilation-36 branch spans half the crop and mostly reads
+padding, so grid quality plateaued ~0.05 below whole-image no matter the
+training. At the true 513-crop point the same weights score grid >=
+whole (measured gaps -0.010/-0.008 across seeds).
 """
 import numpy as np
 import pytest
@@ -29,13 +37,30 @@ def _miou(agent, frames, gts):
 
 @pytest.mark.slow
 def test_grid_tta_matches_whole_image():
+    whole = SegAgent(model_path=WEIGHTS, input_long_side=962,
+                     crop_h=962, crop_w=962, flip=True)
+    # the reference operating point: 962 resize, 513 grid, stride 0.5
+    grid = SegAgent(model_path=WEIGHTS, input_long_side=962,
+                    crop_h=513, crop_w=513, stride_ratio=0.5, flip=True)
+    gaps = []
+    for seed in (4, 11):
+        frames, gts = make_eval_clip("green", n=1, h=192, w=256,
+                                     seed=seed)
+        m_whole = _miou(whole, frames, gts)
+        m_grid = _miou(grid, frames, gts)
+        assert m_whole > 0.8, (seed, m_whole)
+        gaps.append(m_whole - m_grid)
+        assert m_grid > m_whole - 0.02, (seed, m_grid, m_whole)
+    # across seeds the grid ensemble should not be systematically worse
+    assert np.mean(gaps) < 0.01, gaps
+
+
+@pytest.mark.slow
+def test_whole_image_quality_small_geometry():
+    """Whole-image quality at the light 256 geometry (fast regression
+    canary for the weights; the 137-crop grid comparison was removed —
+    see module docstring)."""
     frames, gts = make_eval_clip("green", n=2, h=192, w=256, seed=4)
     whole = SegAgent(model_path=WEIGHTS, input_long_side=256,
                      crop_h=256, crop_w=256, flip=True)
-    # reference crop/input ratio: 137/256 ~ 513/962
-    grid = SegAgent(model_path=WEIGHTS, input_long_side=256,
-                    crop_h=137, crop_w=137, stride_ratio=0.5, flip=True)
-    m_whole = _miou(whole, frames, gts)
-    m_grid = _miou(grid, frames, gts)
-    assert m_whole > 0.8, m_whole       # the weights segment the person
-    assert m_grid > m_whole - 0.02, (m_grid, m_whole)
+    assert _miou(whole, frames, gts) > 0.9

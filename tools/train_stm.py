@@ -36,6 +36,12 @@ if __name__ == "__main__":
                              "inference-time FIFO ring reaches "
                              "(agents/stm.py device_inference); overrides "
                              "--clip_len")
+    parser.add_argument("--sizes", type=str, default=None,
+                        help="comma list of square train sizes cycled "
+                             "across steps (e.g. 128,256) — multi-scale "
+                             "training; single-scale fine-tuning at 256 "
+                             "catastrophically forgets 128-scale "
+                             "propagation. Overrides --size")
     parser.add_argument("--save_every", type=int, default=0,
                         help="checkpoint to --out every N steps (0 = "
                              "only at the end) so a parallel CPU process "
@@ -71,6 +77,8 @@ if __name__ == "__main__":
 
     clip_lens = ([int(v) for v in args.clip_lens.split(",")]
                  if args.clip_lens else [args.clip_len])
+    sizes = ([int(v) for v in args.sizes.split(",")]
+             if args.sizes else [args.size])
 
     def checkpoint():
         variables = {"params": jax.device_get(state.params),
@@ -82,8 +90,8 @@ if __name__ == "__main__":
     with mesh:
         for step in range(args.steps):
             cl = clip_lens[step % len(clip_lens)]
-            batch = make_clip_batch(rng, args.batch,
-                                    (args.size, args.size),
+            sz = sizes[(step // len(clip_lens)) % len(sizes)]
+            batch = make_clip_batch(rng, args.batch, (sz, sz),
                                     clip_len=cl)
             state, loss = train_step(state, batch)
             if step % args.log_every == 0 or step == args.steps - 1:
