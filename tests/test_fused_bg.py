@@ -57,3 +57,21 @@ def test_fused_bg_host_fetch_matches_device():
         d = np.abs(outs["host"][idx].astype(np.float32)
                    - outs["device"][idx].astype(np.float32)).mean()
         assert d < 6.0, (name, d)
+
+
+def test_bg_segment_batched_matches_sequential():
+    """`run_segmented` for bg mode: segment 0 must follow the exact carry
+    evolution of the sequential path (the batched step hoists the seed
+    segmenter behind an any(need_seed) cond — semantics must not drift)."""
+    frames, _ = make_clip(n=4)
+    h, w = frames[0].shape[:2]
+    pipe = FusedBgPipeline(BG_TEST_CFG, (h, w), work_long_side=128,
+                           use_stm_tracking=False)
+    a_seq, s_seq, _, _ = pipe.run(frames, chunk_size=2)
+    a_seg, s_seg, fgs, bgs = pipe.run_segmented(frames, n_segments=2,
+                                                chunk_size=2)
+    assert a_seg.shape == a_seq.shape
+    diff = np.abs(a_seg[:2].astype(np.int16) - a_seq[:2].astype(np.int16))
+    assert diff.max() <= 4, diff.max()
+    assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
+    np.testing.assert_array_equal(s_seg[0], s_seq[0])

@@ -125,17 +125,7 @@ class FusedBgPipeline:
 
         def stm_branch(args):
             norm_, carry_ = args
-            mask_prev = (carry_.alpha_pre >= 128).astype(jnp.float32)
-            k, v = self.stm.model.apply(
-                self.stm.variables, carry_.frame_prev[None],
-                mask_prev[None], 1.0 - mask_prev[None],
-                method=lambda m, f, mf, mb: m.memorize(f, mf, mb))
-            logits = self.stm.model.apply(
-                self.stm.variables, norm_[None], k[:, None], v[:, None],
-                jnp.asarray([[True]]),
-                method=lambda m, f, mk, mv, vl: m.segment(f, mk, mv, vl))
-            pred = jnp.argmax(logits[0], axis=-1).astype(jnp.float32)
-            return pred * 255.0
+            return self._stm_track_mask(carry_, norm_)
 
         def seed_branch(args):
             return seed_mask(self.seg, frame)
@@ -165,15 +155,61 @@ class FusedBgPipeline:
                     for c in range(3)]
         return jnp.stack(channels, axis=-1)
 
+    def _stm_track_mask(self, carry: BgCarry, norm: jax.Array) -> jax.Array:
+        """Propagate the previous frame's alpha through STM (the
+        tracking branch of `_segment`, 2-frame contract)."""
+        mask_prev = (carry.alpha_pre >= 128).astype(jnp.float32)
+        k, v = self.stm.model.apply(
+            self.stm.variables, carry.frame_prev[None],
+            mask_prev[None], 1.0 - mask_prev[None],
+            method=lambda m, f, mf, mb: m.memorize(f, mf, mb))
+        logits = self.stm.model.apply(
+            self.stm.variables, norm[None], k[:, None], v[:, None],
+            jnp.asarray([[True]]),
+            method=lambda m, f, mk, mv, vl: m.segment(f, mk, mv, vl))
+        return jnp.argmax(logits[0], axis=-1).astype(jnp.float32) * 255.0
+
     # -- per-frame step --------------------------------------------------------
-    def _step(self, carry: BgCarry, frame_full: jax.Array):
-        h, w = self.work_hw
+    def _prep_frame(self, frame_full: jax.Array) -> jax.Array:
         frame = frame_full.astype(jnp.float32)
         if frame.shape[:2] != self.work_hw:
             frame = resize(frame, self.work_hw)
-        norm = imnormalize(frame)
+        return frame
 
+    def _step(self, carry: BgCarry, frame_full: jax.Array):
+        frame = self._prep_frame(frame_full)
+        norm = imnormalize(frame)
         segmask = self._segment(carry, frame, norm)
+        return self._post_seg(carry, frame, norm, segmask)
+
+    def _step_batched(self, carries: BgCarry, frames_b: jax.Array):
+        """Per-frame step over S stacked segments. Like
+        `FusedGreenPipeline._step_batched`: a plain vmap would run BOTH
+        `_segment` branches (STM tracking AND the SCHP/DeepLab seed) for
+        every segment every frame. Here STM tracking runs batched every
+        step (it is the common branch), and the seed segmenter is
+        hoisted behind one scalar `any(need_seed)` cond."""
+        frames = jax.vmap(self._prep_frame)(frames_b)
+        norms = jax.vmap(imnormalize)(frames)
+        need_seed = ~(carries.tracking & (carries.fid > 0))  # (S,)
+
+        def seed_all(fr):
+            return jax.vmap(lambda f: seed_mask(self.seg, f))(fr)
+
+        seeds = jax.lax.cond(
+            need_seed.any(), seed_all,
+            lambda fr: jnp.zeros(fr.shape[:3], jnp.float32), frames)
+        if self.use_stm:
+            tracked = jax.vmap(self._stm_track_mask)(carries, norms)
+        else:
+            tracked = carries.alpha_pre
+        segmask = jnp.where(need_seed[:, None, None], seeds, tracked)
+        return jax.vmap(self._post_seg)(carries, frames, norms, segmask)
+
+    def _post_seg(self, carry: BgCarry, frame: jax.Array, norm: jax.Array,
+                  segmask: jax.Array):
+        """Everything after segmentation (per sample)."""
+        h, w = self.work_hw
         fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
 
         # matting pass 1 + background estimation
@@ -309,9 +345,10 @@ class FusedBgPipeline:
     @functools.partial(jax.jit, static_argnums=(0,))
     def process_chunk_segments(self, carries: BgCarry, frames: jax.Array):
         """Advance S independent clip segments N frames in lockstep (see
-        `FusedGreenPipeline.process_chunk_segments` — same trade: the
-        per-frame `lax.cond`s become batched selects, per-dispatch compute
-        rises ~Sx while wire bytes/frame stay identical).
+        `FusedGreenPipeline.process_chunk_segments` — same trade:
+        per-dispatch compute rises ~Sx while wire bytes/frame stay
+        identical; the seed segmenter runs only on steps where a segment
+        needs seeding, `_step_batched`).
 
         frames: (S, N, H, W, 3) BGR or (S, N, H*3/2, W) I420."""
         if frames.ndim == 4:
@@ -319,7 +356,7 @@ class FusedBgPipeline:
             frames = jax.vmap(jax.vmap(yuv420_to_bgr))(frames)
         xs = jnp.swapaxes(frames, 0, 1)          # (N, S, ...)
         carries, (packed, bg_small) = jax.lax.scan(
-            jax.vmap(self._step), carries, xs)
+            self._step_batched, carries, xs)
         return carries, (jnp.swapaxes(packed, 0, 1),
                          jnp.swapaxes(bg_small, 0, 1))
 
@@ -466,19 +503,23 @@ class FusedBgPipeline:
         padded = frames + [frames[-1]] * (n_segments * seg_len - n)
         prep = self._preprocess(host_downscale)
 
+        from .fused_green import _prefetch_chunks
+
+        def build_chunk(c0, cn):
+            return np.stack([
+                prep(np.stack(
+                    [padded[s * seg_len + min(c0 + i, seg_len - 1)]
+                     for i in range(chunk_size)]))
+                for s in range(n_segments)])
+
+        specs = [(c0, min(chunk_size, seg_len - c0))
+                 for c0 in range(0, seg_len, chunk_size)]
         carries = self.init_carries(n_segments)
         device_outs, lengths = [], []
-        for c0 in range(0, seg_len, chunk_size):
-            cn = min(chunk_size, seg_len - c0)
-            with timer.stage("host_prep"):
-                batch = np.stack([
-                    prep(np.stack(
-                        [padded[s * seg_len + min(c0 + i, seg_len - 1)]
-                         for i in range(chunk_size)]))
-                    for s in range(n_segments)])
+        for chunk, cn in _prefetch_chunks(build_chunk, specs):
             with timer.stage("dispatch"):
                 carries, (packed, bg_small) = self.process_chunk_segments(
-                    carries, jnp.asarray(batch))
+                    carries, chunk)
                 if timer.block:
                     jax.block_until_ready((packed, bg_small))
             for buf in (packed, bg_small):

@@ -83,6 +83,39 @@ def seed_mask(seg, frame: jax.Array) -> jax.Array:
     return seg.predict_mask_impl(seg.variables, frame)
 
 
+def _prefetch_chunks(build, specs, depth: int = 2):
+    """Background-thread chunk builder: host prep (resize + wire pack +
+    device_put) of chunk t+1 overlaps the device's work on chunk t — the
+    `run_segmented` analog of FrameStreamer's double buffering.
+
+    Yields (device_array, n_valid) per spec (c0, cn)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for c0, cn in specs:
+                q.put((jnp.asarray(build(c0, cn)), cn))
+        except Exception as e:  # surface errors to the consumer
+            q.put(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, Exception):
+            raise item
+        yield item
+    t.join()
+
+
 class FusedGreenPipeline:
     """Compiled green-mode runner for one clip geometry."""
 
@@ -147,11 +180,14 @@ class FusedGreenPipeline:
             fid=jnp.asarray(0, jnp.int32)))
 
     # -- per-frame step (traced once) ----------------------------------------
-    def _step(self, carry: GreenCarry, frame_full: jax.Array):
-        h, w = self.work_hw
+    def _prep_frame(self, frame_full: jax.Array) -> jax.Array:
         frame = frame_full.astype(jnp.float32)
         if frame.shape[:2] != self.work_hw:
             frame = resize(frame, self.work_hw)
+        return frame
+
+    def _step(self, carry: GreenCarry, frame_full: jax.Array):
+        frame = self._prep_frame(frame_full)
 
         # 1. segmentation: tracking shortcut or seed segmenter. `lax.cond`
         # (not a select) so the neural forward only executes on frames
@@ -162,24 +198,93 @@ class FusedGreenPipeline:
             lambda op: op[0],
             lambda op: seed_mask(self.seg, op[1]),
             (carry.alpha_pre, frame))
-        fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
+        return self._post_seg(carry, frame, segmask)
 
-        # cf_iters schedule (`tools/unscreen/green.py:88-96`)
-        refit = ((carry.fid % self.cf_duration == 0)
-                 | ~carry.tracking | ~carry.cf_state.trained)
+    def _step_batched(self, carries: GreenCarry, frames_b: jax.Array):
+        """Per-frame step over S stacked segments.
 
-        def run_cf(args):
-            frame_, segmask_, state = args
-            return self.cf.device_forward_impl(frame_, segmask_,
-                                               self.cf_train_iters, state)
+        NOT a plain `vmap(self._step)`: under vmap the tracking
+        `lax.cond` becomes a select that executes BOTH branches, so the
+        seed segmenter's grid TTA (the heaviest compute in the pipeline
+        with `binseg.type: "deeplab"`) would run on every frame of every
+        segment. Instead the seed branch is hoisted behind one scalar
+        `any(~tracking)` cond: it runs — batched over all S segments —
+        only on steps where at least one segment actually needs a seed
+        (frame 0 and tracking losses), and a per-segment select picks
+        seed vs shortcut. Everything downstream is vmapped."""
+        frames = jax.vmap(self._prep_frame)(frames_b)
 
-        def run_cf_predict(args):
-            frame_, segmask_, state = args
-            return self.cf.device_forward_impl(frame_, segmask_, 0, state)
+        need_seed = ~carries.tracking  # (S,)
+
+        def seed_all(fr):
+            return jax.vmap(lambda f: seed_mask(self.seg, f))(fr)
+
+        seeds = jax.lax.cond(
+            need_seed.any(), seed_all,
+            lambda fr: jnp.zeros(fr.shape[:3], jnp.float32), frames)
+        segmask = jnp.where(need_seed[:, None, None], seeds,
+                            carries.alpha_pre)
+
+        # GMM color-filter refit, hoisted the same way: the EM fit
+        # (cf_train_iters x 6 GMM fits) belongs on every-30th-frame +
+        # seeding steps only (`green.py:88-96`); a vmapped per-segment
+        # cond would run it every frame for every segment. When any
+        # segment refits, both vmapped variants run once for all S and a
+        # per-segment tree-select keeps non-refitting segments on their
+        # predict-only results/state.
+        refits = jax.vmap(self._cf_refit_flag)(carries)
+
+        def fit_some(args):
+            fr, sm, st = args
+            fit = jax.vmap(self._run_cf_fit)(fr, sm, st)
+            pred = jax.vmap(self._run_cf_predict)(fr, sm, st)
+
+            def sel(a, b):
+                flags = refits.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(flags, a, b)
+            return jax.tree.map(sel, fit, pred)
+
+        def fit_none(args):
+            fr, sm, st = args
+            return jax.vmap(self._run_cf_predict)(fr, sm, st)
 
         alphacf, bg_color, _, cf_state = jax.lax.cond(
-            refit, run_cf, run_cf_predict,
+            refits.any(), fit_some, fit_none,
+            (frames, segmask, carries.cf_state))
+        return jax.vmap(self._post_cf)(carries, frames, segmask, alphacf,
+                                       bg_color, cf_state)
+
+    # -- cf stage helpers -----------------------------------------------------
+    def _cf_refit_flag(self, carry: GreenCarry):
+        """cf_iters schedule (`tools/unscreen/green.py:88-96`)."""
+        return ((carry.fid % self.cf_duration == 0)
+                | ~carry.tracking | ~carry.cf_state.trained)
+
+    def _run_cf_fit(self, frame, segmask, state):
+        return self.cf.device_forward_impl(frame, segmask,
+                                           self.cf_train_iters, state)
+
+    def _run_cf_predict(self, frame, segmask, state):
+        return self.cf.device_forward_impl(frame, segmask, 0, state)
+
+    def _post_seg(self, carry: GreenCarry, frame: jax.Array,
+                  segmask: jax.Array):
+        """Color filter (cond-gated) + everything after (per sample)."""
+        alphacf, bg_color, _, cf_state = jax.lax.cond(
+            self._cf_refit_flag(carry),
+            lambda a: self._run_cf_fit(*a),
+            lambda a: self._run_cf_predict(*a),
             (frame, segmask, carry.cf_state))
+        return self._post_cf(carry, frame, segmask, alphacf, bg_color,
+                             cf_state)
+
+    def _post_cf(self, carry: GreenCarry, frame: jax.Array,
+                 segmask: jax.Array, alphacf: jax.Array,
+                 bg_color: jax.Array, cf_state):
+        """Object removal -> trimap -> matting -> color-correct -> fg
+        (per sample)."""
+        h, w = self.work_hw
+        fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
 
         # 3. invalid-object removal (segmask consensus unless tracking),
         # labeled at half res — decisions are ratio-based (see
@@ -251,19 +356,18 @@ class FusedGreenPipeline:
         """Advance S independent clip segments N frames in lockstep.
 
         frames: (S, N, H, W, 3) BGR or (S, N, H*3/2, W) I420. The scan
-        iterates the frame axis with a `vmap`-ed step over segments: the
-        per-frame `lax.cond`s become batched selects (both branches run
-        for the batch), which is the right trade on a single chip whose
-        MXU is otherwise idle between wire transfers — per-dispatch
-        compute rises ~Sx while bytes/frame stay identical. Segment
-        carries are independent (fresh GMM/tracking per segment, the same
+        iterates the frame axis with `_step_batched` over segments —
+        per-dispatch compute rises ~Sx while bytes/frame stay identical,
+        and the seed segmenter still runs only on steps where a segment
+        actually needs seeding (see `_step_batched`). Segment carries
+        are independent (fresh GMM/tracking per segment, the same
         chunk-boundary semantics as `process_segments`)."""
         if frames.ndim == 4:
             from ..ops.color import yuv420_to_bgr
             frames = jax.vmap(jax.vmap(yuv420_to_bgr))(frames)
         xs = jnp.swapaxes(frames, 0, 1)          # (N, S, ...)
         carries, (packed, bg) = jax.lax.scan(
-            jax.vmap(self._step), carries, xs)
+            self._step_batched, carries, xs)
         return carries, (jnp.swapaxes(packed, 0, 1),
                          jnp.swapaxes(bg, 0, 1))
 
@@ -332,20 +436,22 @@ class FusedGreenPipeline:
                                  cv2.COLOR_BGR2YUV_I420)
             return f
 
+        def build_chunk(c0, cn):
+            return np.stack([
+                np.stack([prep(padded[s * seg_len + c0 + i])
+                          for i in range(cn)]
+                         + [prep(padded[s * seg_len + c0 + cn - 1])]
+                         * (chunk_size - cn))
+                for s in range(n_segments)])
+
+        specs = [(c0, min(chunk_size, seg_len - c0))
+                 for c0 in range(0, seg_len, chunk_size)]
         carries = self.init_carries(n_segments)
         device_outs, lengths = [], []
-        for c0 in range(0, seg_len, chunk_size):
-            cn = min(chunk_size, seg_len - c0)
-            with timer.stage("host_prep"):
-                batch = np.stack([
-                    np.stack([prep(padded[s * seg_len + c0 + i])
-                              for i in range(cn)]
-                             + [prep(padded[s * seg_len + c0 + cn - 1])]
-                             * (chunk_size - cn))
-                    for s in range(n_segments)])
+        for chunk, cn in _prefetch_chunks(build_chunk, specs):
             with timer.stage("dispatch"):
                 carries, (packed, bg_colors) = self.process_chunk_segments(
-                    carries, jnp.asarray(batch))
+                    carries, chunk)
                 if timer.block:
                     jax.block_until_ready((packed, bg_colors))
             for buf in (packed, bg_colors):
