@@ -18,7 +18,7 @@ baseline is this same pipeline executed on the host CPU — measured once
 and recorded in BASELINE.md (CPU_BASELINE_FPS below). The BASELINE.json
 target is >=10x the CPU-reference fps.
 
-Segment batching (--segments, default 4): S independent clip segments
+Segment batching (--segments, default 8): S independent clip segments
 advance in lockstep through one compiled scan — S x the device work per
 dispatch at identical wire bytes/frame, the single-chip MXU-utilization
 lever (VERDICT round-2 item 3).
@@ -137,9 +137,12 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--work_long_side", type=int, default=960)
     parser.add_argument("--repeats", type=int, default=5)
-    parser.add_argument("--segments", type=int, default=4,
+    parser.add_argument("--segments", type=int, default=8,
                         help="independent clip segments batched per chip "
-                             "(run_segmented when > 1)")
+                             "(run_segmented when > 1; the recorded sweep "
+                             "on 1080p green: device fps 52/62/78 at "
+                             "S=1/4/8, wall tunnel-bound ~10-12 across "
+                             "all S)")
     parser.add_argument("--wire", type=str, default="yuv420",
                         choices=("bgr", "yuv420"))
     parser.add_argument("--mode", type=str, default="both",
