@@ -99,6 +99,8 @@ class FusedBgPipeline:
         self.bg_mask_thr = float(cfg["bg_mask"]["thr"])
         self.saliency_thr = float(cfg["objectremoval"]["saliency_thr"])
         self.consensus_thr = float(cfg["objectremoval"]["consensus_thr"])
+        # see FusedGreenPipeline: CC labeling/stats resolution divisor
+        self.or_downscale = int(cfg["objectremoval"].get("downscale", 2))
         tri = cfg["trimap"]
         self.tri_kernel = int(tri["kernelsize"])
         self.tri_iters = int(tri["iters"])
@@ -138,7 +140,8 @@ class FusedBgPipeline:
         """object removal -> trimap -> matting (`bg.py:67-70,92-95`)."""
         alphaor = remove_invalid_objects_ds(
             mask, mask, self.score_map, saliency_thr=self.saliency_thr,
-            consensus_thr=self.consensus_thr, downscale=2)
+            consensus_thr=self.consensus_thr,
+            downscale=self.or_downscale)
         trimap = generate_trimap(alphaor, self.tri_kernel, self.tri_iters)
         return self.vmat.device_forward_impl(
             self.vmat.variables, frame, alpha_pre, trimap, self.work_hw)
