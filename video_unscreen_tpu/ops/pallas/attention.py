@@ -149,7 +149,7 @@ def _round_up(x: int, m: int) -> int:
 # TOP of the kernel's operands/outputs, and the fused bg program OOMed
 # scoped VMEM at 100MB declared (106.59M asked vs 100M cap) — so declare
 # only what the tiles can actually touch.
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _pad_inputs(q, k, v, kv_mask, q_tile, k_tile):
@@ -295,8 +295,8 @@ _mma.defvjp(_mma_fwd, _mma_bwd)
 @functools.partial(jax.jit,
                    static_argnames=("q_tile", "k_tile", "interpret"))
 def masked_memory_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                            kv_mask: jax.Array, q_tile: int = 256,
-                            k_tile: int = 512,
+                            kv_mask: jax.Array, q_tile: int = 128,
+                            k_tile: int = 256,
                             interpret: bool = False) -> jax.Array:
     """softmax(q k^T / sqrt(d), masked over invalid keys) @ v.
 
