@@ -73,6 +73,30 @@ def make_natural_clip(n, h=1080, w=1920, seed=1):
     return frames
 
 
+def measure_link(mb=4.0, repeats=3):
+    """Median host<->device bandwidth (MB/s), measured in-process so the
+    wall-fps numbers in the same JSON line are interpretable — the tunnel
+    ranges ~8-40 MB/s run to run and wall fps ~= tunnel_MBps / wire
+    bytes-per-frame (BASELINE.md). Same routine as tools/link_probe.py."""
+    import jax
+
+    n = int(mb * 1e6)
+    host_buf = np.random.RandomState(0).randint(0, 255, n, dtype=np.uint8)
+    dev_buf = jax.device_put(host_buf)
+    jax.block_until_ready(dev_buf)
+    h2d_t, d2h_t = [], []
+    for _ in range(repeats):
+        st = time.time()
+        x = jax.device_put(host_buf)
+        jax.block_until_ready(x)
+        h2d_t.append(time.time() - st)
+        st = time.time()
+        _ = np.asarray(dev_buf)
+        d2h_t.append(time.time() - st)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    return mb / med(h2d_t), mb / med(d2h_t)
+
+
 def bench_pipeline(pipe, frames, chunk, segments, repeats):
     """(wall_fps, device_fps) for a fused pipeline instance."""
     import cv2
@@ -147,7 +171,12 @@ def main():
                         choices=("bgr", "yuv420"))
     parser.add_argument("--mode", type=str, default="both",
                         choices=("green", "bg", "both"))
-    parser.add_argument("--bg_frames", type=int, default=16)
+    parser.add_argument("--bg_frames", type=int, default=64,
+                        help="bg-mode clip length; at --segments 8 the "
+                             "default gives 8-frame segments so the "
+                             "SCHP-seed ratio (1 seed per 8 frames) "
+                             "resembles production, not the every-other-"
+                             "frame reseed a 2-frame segment would pay")
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
     args = parser.parse_args()
@@ -165,6 +194,12 @@ def main():
     record = {"metric": "green_1080p_fps_per_chip",
               "unit": "frames/sec", "segments": args.segments,
               "wire": args.wire}
+
+    # link probe first: the wall numbers below are bandwidth-bound on
+    # tunneled hosts, so the JSON line records the link they saw
+    h2d, d2h = measure_link()
+    record["tunnel_h2d_MBps"] = round(h2d, 1)
+    record["tunnel_d2h_MBps"] = round(d2h, 1)
 
     if args.mode in ("green", "both"):
         cfg = load_config("configs/green.json")

@@ -203,7 +203,14 @@ class FusedBgPipeline:
             need_seed.any(), seed_all,
             lambda fr: jnp.zeros(fr.shape[:3], jnp.float32), frames)
         if self.use_stm:
-            tracked = jax.vmap(self._stm_track_mask)(carries, norms)
+            # the STM forward is hoisted behind the mirror cond of the
+            # seed branch: on steps where EVERY segment seeds (frame 0,
+            # short segments) no tracking compute runs at all
+            tracked = jax.lax.cond(
+                (~need_seed).any(),
+                lambda c, nr: jax.vmap(self._stm_track_mask)(c, nr),
+                lambda c, nr: jnp.zeros(nr.shape[:3], jnp.float32),
+                carries, norms)
         else:
             tracked = carries.alpha_pre
         segmask = jnp.where(need_seed[:, None, None], seeds, tracked)
@@ -371,16 +378,29 @@ class FusedBgPipeline:
         tracking drops).
 
         segments: (S, L, H, W, 3) with S divisible by mesh.shape['data'].
-        Returns (packed (S, L, h, w, C), bg_small (S, L, h/ds, w/ds, 3)).
+        Each device receives a block of S/data segments and advances them
+        in lockstep through `_step_batched` (the single-chip
+        segment-batching step), so S > data is handled — no segment is
+        dropped. Returns (packed (S, L, h, w, C),
+        bg_small (S, L, h/ds, w/ds, 3)).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
 
+        n_data = mesh.shape["data"]
+        if segments.shape[0] % n_data:
+            raise ValueError(
+                f"S={segments.shape[0]} segments not divisible by the "
+                f"mesh data axis ({n_data})")
+
         def one_segment(seg):
-            seg = seg[0]  # (L, H, W, 3) — this device's segment
-            _, (packed, bg_small) = jax.lax.scan(
-                self._step, self.init_carry(), seg)
-            return packed[None], bg_small[None]
+            # seg: (S/data, L, H, W, 3) — this device's segment block
+            carries = self.init_carries(seg.shape[0])
+            xs = jnp.swapaxes(seg, 0, 1)          # (L, S_local, ...)
+            _, (packed, bg_small) = jax.lax.scan(self._step_batched,
+                                                 carries, xs)
+            return (jnp.swapaxes(packed, 0, 1),
+                    jnp.swapaxes(bg_small, 0, 1))
 
         fn = shard_map(one_segment, mesh=mesh,
                        in_specs=P("data"),

@@ -391,16 +391,26 @@ class FusedGreenPipeline:
         (`tools/unscreen_parallel.py:22-24`), applied *within* a video.
 
         segments: (S, L, H, W, 3) with S divisible by mesh.shape['data'].
-        Returns (packed (S, L, h, w, C), bg_colors (S, L, 3)).
+        Each device receives a block of S/data segments and advances them
+        in lockstep through `_step_batched` (the single-chip
+        segment-batching step), so S > data is handled — no segment is
+        dropped. Returns (packed (S, L, h, w, C), bg_colors (S, L, 3)).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
 
+        n_data = mesh.shape["data"]
+        if segments.shape[0] % n_data:
+            raise ValueError(
+                f"S={segments.shape[0]} segments not divisible by the "
+                f"mesh data axis ({n_data})")
+
         def one_segment(seg):
-            seg = seg[0]  # (L, H, W, 3) — this device's segment
-            _, (packed, bg) = jax.lax.scan(self._step, self.init_carry(),
-                                           seg)
-            return packed[None], bg[None]
+            # seg: (S/data, L, H, W, 3) — this device's segment block
+            carries = self.init_carries(seg.shape[0])
+            xs = jnp.swapaxes(seg, 0, 1)          # (L, S_local, ...)
+            _, (packed, bg) = jax.lax.scan(self._step_batched, carries, xs)
+            return jnp.swapaxes(packed, 0, 1), jnp.swapaxes(bg, 0, 1)
 
         # check_vma off: the scan carry mixes replicated constants with
         # data-varying values through nested conds; each device's segment
