@@ -20,6 +20,7 @@ import os.path as osp
 from glob import glob
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,33 +82,66 @@ def _stage1(cfg, frame_list, dst_dir, save):
     return mask_list, bg_list
 
 
-def _stage2(cfg, frame_list, mask_list, bg_always_path, save):
+@jax.jit
+def _stage2_accum(acc, cnt, frames_u8, masks_u8):
+    """Masked temporal accumulation over a frame chunk, one dispatch:
+    per frame, dilate the (3-channel) segmask and add the frame where
+    the dilated mask is not exactly 255 (`bg_offline.py:104-112`
+    semantics — uint8 // 255 keeps only saturated mask pixels out)."""
+    def body(carry, xs):
+        acc, cnt = carry
+        frame, mask = xs
+        m = morph.dilate(mask.astype(jnp.float32), 3, 2)
+        bg_weight = 1.0 - jnp.floor(jnp.clip(m, 0.0, 255.0) / 255.0)
+        acc = acc + frame.astype(jnp.float32) * bg_weight
+        cnt = cnt + (m < 250).astype(jnp.float32)
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (frames_u8, masks_u8))
+    return acc, cnt
+
+
+@jax.jit
+def _stage2_finalize(acc, cnt):
+    """Mean background + membrane inpaint of the always-foreground hole
+    (`bg_offline.py:113-130`): one dispatch, channels vmapped through the
+    CG regionfill."""
+    mask_always = (cnt <= 10).astype(jnp.float32) * 255.0
+    bg_always = jnp.clip(acc / jnp.maximum(cnt, 1.0), 0.0, 255.0)
+    bg_always = jnp.floor(bg_always)  # uint8 cast in the host original
+    bg_always = jnp.where(mask_always == 255.0, 0.0, bg_always)
+    hole = morph.dilate(mask_always[..., 0], 3, 2)
+    filled = jax.vmap(lambda c: regionfill(c, hole),
+                      in_axes=-1, out_axes=-1)(bg_always)
+    return jnp.clip(filled, 0.0, 255.0).astype(jnp.uint8)
+
+
+def _stage2(cfg, frame_list, mask_list, bg_always_path, save,
+            chunk_size: int = 32):
     """Temporal-average global background (`bg_offline.py:99-130`).
 
     The reference Telea-inpaints the always-foreground hole; we use the
-    same Laplacian membrane solver as the rest of the framework.
+    same Laplacian membrane solver as the rest of the framework. Runs as
+    batched device reductions (`_stage2_accum` over fixed-size chunks +
+    one `_stage2_finalize`) instead of a per-frame host loop; tail
+    chunks are padded with all-255 masks, which contribute nothing to
+    either accumulator.
     """
     h, w, _ = frame_list[0].shape
-    acc = np.zeros((h, w, 3), np.float64)
-    cnt = np.zeros((h, w, 3), np.float64)
-    for frame, src_mask in zip(frame_list, mask_list):
-        src_mask = cv2.resize(src_mask, (w, h))
-        src_mask = np.asarray(morph.dilate(
-            jnp.asarray(src_mask, jnp.float32), 3, 2))
-        acc += frame * (1.0 - src_mask.astype(np.uint8) // 255)  # bg pixels
-        cnt += (src_mask < 250).astype(np.float64)
-    mask_always = ((cnt <= 10) * 255).astype(np.uint8)
-    cnt_safe = cnt.copy()
-    cnt_safe[cnt == 0] = 1
-    bg_always = np.clip(acc / cnt_safe, 0, 255).astype(np.uint8)
-    bg_always[mask_always == 255] = 0
-
-    hole = cv2.cvtColor(mask_always, cv2.COLOR_BGR2GRAY)
-    hole = np.asarray(morph.dilate(jnp.asarray(hole, jnp.float32), 3, 2))
-    filled = [regionfill(jnp.asarray(bg_always[..., c], jnp.float32),
-                         jnp.asarray(hole)) for c in range(3)]
-    bg_img = np.clip(np.stack([np.asarray(f) for f in filled], -1),
-                     0, 255).astype(np.uint8)
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    cnt = jnp.zeros((h, w, 3), jnp.float32)
+    n = len(frame_list)
+    for c0 in range(0, n, chunk_size):
+        cn = min(chunk_size, n - c0)
+        frames = np.zeros((chunk_size, h, w, 3), np.uint8)
+        masks = np.full((chunk_size, h, w, 3), 255, np.uint8)
+        for i in range(cn):
+            frames[i] = np.asarray(frame_list[c0 + i], np.uint8)
+            masks[i] = cv2.resize(
+                np.asarray(mask_list[c0 + i], np.uint8), (w, h))
+        acc, cnt = _stage2_accum(acc, cnt, jnp.asarray(frames),
+                                 jnp.asarray(masks))
+    bg_img = np.asarray(_stage2_finalize(acc, cnt))
     if save:
         save_img(bg_always_path, bg_img)
     return bg_img
