@@ -80,18 +80,26 @@ def measure_link(mb=4.0, repeats=3):
     bytes-per-frame (BASELINE.md). Same routine as tools/link_probe.py."""
     import jax
 
+    import jax.numpy as jnp
+
     n = int(mb * 1e6)
     host_buf = np.random.RandomState(0).randint(0, 255, n, dtype=np.uint8)
+    bump = jax.jit(lambda x, i: x + i)
     dev_buf = jax.device_put(host_buf)
     jax.block_until_ready(dev_buf)
     h2d_t, d2h_t = [], []
-    for _ in range(repeats):
+    for i in range(repeats):
         st = time.time()
         x = jax.device_put(host_buf)
         jax.block_until_ready(x)
         h2d_t.append(time.time() - st)
+        # a FRESH device array each repeat — np.asarray on a previously
+        # fetched buffer returns the cached host copy and reads as
+        # memcpy speed, not the link
+        y = bump(dev_buf, jnp.uint8(i + 1))
+        jax.block_until_ready(y)
         st = time.time()
-        _ = np.asarray(dev_buf)
+        _ = np.asarray(y)
         d2h_t.append(time.time() - st)
     med = lambda xs: sorted(xs)[len(xs) // 2]
     return mb / med(h2d_t), mb / med(d2h_t)

@@ -139,6 +139,72 @@ def remove_invalid_objects(alpha: jax.Array, segmask: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def remove_invalid_objects_compact(alpha: jax.Array, segmask: jax.Array,
+                                   score: jax.Array,
+                                   saliency_thr: float = 0.005,
+                                   consensus_thr: float = 0.5,
+                                   min_area: int = 100,
+                                   max_components: int = 1024) -> jax.Array:
+    """remove_invalid_objects on the Pallas flood kernel (TPU fast path).
+
+    `ops/pallas/flood.py:connected_components_compact` labels the mask in
+    VMEM and emits DENSE component ids 1..K, so the per-object sums
+    (area, location saliency, segmask consensus) become one one-hot
+    matmul into `max_components` static bins on the MXU — replacing the
+    H*W-bin scatter-adds of the XLA path (measured 3.2 ms flood +
+    ~4.4 ms stats -> ~2 ms total at 272x480). Components ranked beyond
+    `max_components - 1` (pathological speckle only) are dropped like
+    sub-min_area blobs. Decision semantics match `remove_invalid_objects`
+    (reference `unscreen/utils/maskprocess.py:77-152`).
+    """
+    from .morphology import _shift2d
+    from .pallas.flood import connected_components_compact
+
+    h, w = alpha.shape
+    alpha_in = alpha
+    if min_area > 1:
+        # pre-drop isolated pixels (components of area 1 — always below
+        # min_area, so the reference drops them too): speckle is the
+        # dominant component population in noisy GMM masks, and culling
+        # it here keeps dense ranks well under max_components
+        fg_m = (alpha > 0).astype(jnp.float32)
+        nbr = jnp.zeros_like(fg_m)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    nbr = jnp.maximum(nbr, _shift2d(fg_m, dy, dx, 0.0))
+        alpha_in = jnp.where(nbr > 0, alpha, 0.0)
+    _, cid = connected_components_compact(alpha_in)
+    raw_max = cid.max()
+    cid = jnp.minimum(cid, max_components - 1)
+    flat = cid.reshape(-1)
+    fg = (flat > 0).astype(jnp.float32)
+    feats = jnp.stack(
+        [fg, score.reshape(-1) * fg, (segmask.reshape(-1) / 255.0) * fg],
+        axis=-1)
+    oh = jax.nn.one_hot(flat, max_components, dtype=jnp.float32)
+    sums = jnp.einsum("nk,nf->kf", oh, feats,
+                      preferred_element_type=jnp.float32)
+    area = sums[:, 0]
+    saliency = sums[:, 1] / float(h * w)
+    consensus = sums[:, 2] / jnp.maximum(area, 1.0)
+    valid = (area >= min_area) & (
+        ((saliency > saliency_thr) & (consensus > consensus_thr))
+        | (saliency > saliency_thr * 10.0))
+    valid = valid.at[0].set(False)
+    # the clamp bin is only trustworthy when nothing overflowed into it
+    valid = valid.at[max_components - 1].set(
+        valid[max_components - 1] & (raw_max < max_components))
+    keep = jnp.take(valid, flat).reshape(h, w)
+    return jnp.where(keep, alpha, 0.0)
+
+
+def _invalid_objects_impl(use_pallas: bool):
+    return (remove_invalid_objects_compact if use_pallas
+            else remove_invalid_objects)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def remove_invalid_objects_ds(alpha: jax.Array, segmask: jax.Array,
                               score: jax.Array,
                               saliency_thr: float = 0.005,
@@ -150,18 +216,22 @@ def remove_invalid_objects_ds(alpha: jax.Array, segmask: jax.Array,
     Saliency/consensus are resolution-invariant ratios; `min_area` scales
     by downscale^2. The keep-mask is upsampled (nearest) and applied to
     the full-res alpha — a ~downscale^2 cut of the scatter/flood cost in
-    the fused pipelines.
+    the fused pipelines. On TPU the labeling + stats run through the
+    Pallas flood kernel (`remove_invalid_objects_compact`); other
+    backends keep the XLA segmented-scan + scatter path (Pallas
+    interpret mode is orders of magnitude slower than XLA on CPU).
     """
+    impl = _invalid_objects_impl(jax.default_backend() == "tpu")
     if downscale == 1:
-        return remove_invalid_objects(alpha, segmask, score, saliency_thr,
-                                      consensus_thr, min_area)
+        return impl(alpha, segmask, score, saliency_thr,
+                    consensus_thr, min_area)
     from .geometry import resize
     h, w = alpha.shape
     lh, lw = h // downscale, w // downscale
     alpha_lr = resize(alpha, (lh, lw), method="nearest")
     seg_lr = resize(segmask, (lh, lw), method="nearest")
     score_lr = resize(score, (lh, lw), method="nearest")
-    kept_lr = remove_invalid_objects(
+    kept_lr = impl(
         alpha_lr, seg_lr, score_lr, saliency_thr, consensus_thr,
         max(min_area // (downscale * downscale), 1))
     keep = resize((kept_lr > 0).astype(jnp.float32), (h, w),

@@ -48,7 +48,7 @@ def _neighbor_sum(x: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _fill_core(img: jax.Array, hole: jax.Array, cg_iters: int,
-               tol: float) -> jax.Array:
+               tol: float, x0: jax.Array | None = None) -> jax.Array:
     h, w = img.shape
     cross = _se_offsets(cross_kernel(3))
     dilated = _morph(hole.astype(jnp.float32), cross, 1, True)
@@ -65,9 +65,46 @@ def _fill_core(img: jax.Array, hole: jax.Array, cg_iters: int,
         # without coupling into the solve.
         return jnp.where(hole, ax, x)
 
-    sol, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, x0=jnp.zeros_like(img),
+    if x0 is None:
+        x0 = jnp.zeros_like(img)
+    else:
+        # outside-hole entries of the identity block must start at rhs
+        # (= 0) for the residual to measure only the hole system
+        x0 = jnp.where(hole, x0, 0.0)
+    sol, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, x0=x0,
                                         tol=tol, maxiter=cg_iters)
     return jnp.where(hole, sol, img)
+
+
+def solve_shape(h: int, w: int, factor: float = 1.0):
+    """The (sh, sw) resolution `_fill_core` solves at for `factor`."""
+    if factor == 1.0:
+        return h, w
+    return max(int(h * factor), 1), max(int(w * factor), 1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def regionfill_with_state(img: jax.Array, mask: jax.Array,
+                          factor: float = 1.0, cg_iters: int = 400,
+                          tol: float = 1e-5, x0: jax.Array | None = None):
+    """`regionfill` that also returns the solve-resolution solution.
+
+    `x0` (solve-res, from `solve_shape`) warm-starts the CG iteration —
+    the fused bg pipeline threads the previous frame's solved background
+    through the scan carry, so steady-state frames converge in a
+    fraction of the cold-start iterations (backgrounds change slowly).
+    """
+    h, w = img.shape
+    if factor != 1.0:
+        sh, sw = solve_shape(h, w, factor)
+        small = resize(img, (sh, sw))
+        hole = resize(mask.astype(jnp.float32), (sh, sw)) > 0
+        sol = _fill_core(small, hole, cg_iters, tol, x0)
+        filled = resize(sol, (h, w))
+    else:
+        sol = _fill_core(img, mask > 0, cg_iters, tol, x0)
+        filled = sol
+    return jnp.where(mask > 0, filled, img), sol
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -79,13 +116,5 @@ def regionfill(img: jax.Array, mask: jax.Array, factor: float = 1.0,
     `factor` (static), solve, upsample, and restore known pixels. Empty masks
     pass through (the select keeps the original everywhere).
     """
-    h, w = img.shape
-    if factor != 1.0:
-        sh, sw = max(int(h * factor), 1), max(int(w * factor), 1)
-        small = resize(img, (sh, sw))
-        hole = resize(mask.astype(jnp.float32), (sh, sw)) > 0
-        filled = _fill_core(small, hole, cg_iters, tol)
-        filled = resize(filled, (h, w))
-    else:
-        filled = _fill_core(img, mask > 0, cg_iters, tol)
-    return jnp.where(mask > 0, filled, img)
+    filled, _ = regionfill_with_state(img, mask, factor, cg_iters, tol)
+    return filled

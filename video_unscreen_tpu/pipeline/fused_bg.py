@@ -10,9 +10,15 @@ Device-resident rebuild of `tools/unscreen/bg.py` (the modular driver is
 
 Key structural observation: the reference's STM call in bg mode always
 sees exactly two frames (`bg.py:53`), i.e. memorize(prev, alpha_pre) then
-segment(cur) — no persistent bank. The scan carry is therefore just
-(alpha_pre, tracking, normalized previous frame); the STM ring buffer is
-only needed by the general STMAgent (`agents/stm.py`).
+segment(cur). That contract cannot remember the subject across an
+occluder, so the scan carry additionally holds a SMALL ring bank of
+committed memories (capacity `stm.fused_bank_capacity`, default 2 —
+the `agents/stm.py:62-115` mechanics at reduced capacity, reference
+semantics `unscreen/stm/agent.py:145-168`): tracking frames commit every
+`memory_step`-th memory FIFO, and the segment read attends over
+committed slots + the previous frame. The bank is NOT cleared on
+re-seeds — within a clip segment the pre-occlusion appearance stays
+available.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ from ..ops.color import bgr2gray, bgr2hsv, hsv2bgr
 from ..ops.compositing import get_fg
 from ..ops.connected import remove_invalid_objects_ds
 from ..ops.geometry import get_target_size, imnormalize, resize
-from ..ops.regionfill import regionfill
+from ..ops.regionfill import regionfill_with_state, solve_shape
 from ..ops.trimap import generate_trimap
 from ..parallel.streaming import FrameStreamer
 from .common import build_score_map
@@ -43,6 +49,10 @@ class BgCarry(NamedTuple):
     tracking: jax.Array     # scalar bool
     frame_prev: jax.Array   # (H, W, 3) normalized previous frame
     fid: jax.Array          # scalar int32
+    bg_prev: jax.Array      # (sh, sw, 3) solve-res regionfill warm start
+    bank_k: jax.Array       # (cap, hm, wm, 128) STM ring-bank keys
+    bank_v: jax.Array       # (cap, hm, wm, 512) STM ring-bank values
+    bank_n: jax.Array       # scalar int32, committed slots
 
 
 class FusedBgPipeline:
@@ -79,6 +89,11 @@ class FusedBgPipeline:
             model_path=cfg["vmatting"].get("model_path"),
             input_long_side=work_long_side, dtype=matting_dtype)
         self.use_stm = bool(use_stm_tracking)
+        self.stm_dtype = stm_dtype
+        stm_cfg = cfg.get("stm", {})
+        self.bank_cap = (int(stm_cfg.get("fused_bank_capacity", 2))
+                         if self.use_stm else 0)
+        self.memory_step = int(stm_cfg.get("memory_step", 2))
         if self.use_stm:
             # einsum memory read: the STM call sits inside the scan's
             # tracking `lax.cond`, where XLA's scoped-VMEM accounting
@@ -107,34 +122,74 @@ class FusedBgPipeline:
 
     def init_carry(self) -> BgCarry:
         h, w = self.work_hw
+        sh, sw = solve_shape(h, w, 0.5)
+        hm, wm = h // 16, w // 16
+        cap = self.bank_cap
         return _canon(BgCarry(
             alpha_pre=jnp.zeros((h, w), jnp.float32),
             tracking=jnp.asarray(False),
             frame_prev=jnp.zeros((h, w, 3), jnp.float32),
-            fid=jnp.asarray(0, jnp.int32)))
+            fid=jnp.asarray(0, jnp.int32),
+            bg_prev=jnp.zeros((sh, sw, 3), jnp.float32),
+            bank_k=jnp.zeros((cap, hm, wm, 128), self.stm_dtype),
+            bank_v=jnp.zeros((cap, hm, wm, 512), self.stm_dtype),
+            bank_n=jnp.asarray(0, jnp.int32)))
 
     # -- sub-stages ----------------------------------------------------------
-    def _segment(self, carry: BgCarry, frame, norm):
+    def _segment_and_bank(self, carry: BgCarry, frame, norm):
         """STM tracking when a subject was present, else the seed
         segmenter — SCHP/DeepLab per the binseg config, chroma as the
-        weights-free fallback (`bg.py:49-56`)."""
+        weights-free fallback (`bg.py:49-56`). Returns
+        (segmask, (bank_k, bank_v, bank_n)) — tracking frames commit
+        their memory to the ring bank (see module docstring)."""
+        bank = (carry.bank_k, carry.bank_v, carry.bank_n)
         if not self.use_stm:
-            return jax.lax.cond(
+            segmask = jax.lax.cond(
                 carry.tracking & (carry.fid > 0),
                 lambda op: op[0],
                 lambda op: seed_mask(self.seg, op[1]),
                 (carry.alpha_pre, frame))
+            return segmask, bank
 
         def stm_branch(args):
             norm_, carry_ = args
             return self._stm_track_mask(carry_, norm_)
 
         def seed_branch(args):
-            return seed_mask(self.seg, frame)
+            hm, wm = self.work_hw[0] // 16, self.work_hw[1] // 16
+            return (seed_mask(self.seg, frame),
+                    jnp.zeros((hm, wm, 128), self.stm_dtype),
+                    jnp.zeros((hm, wm, 512), self.stm_dtype))
 
         use_track = carry.tracking & (carry.fid > 0)
-        return jax.lax.cond(use_track, stm_branch, seed_branch,
-                            (norm, carry))
+        segmask, k, v = jax.lax.cond(use_track, stm_branch, seed_branch,
+                                     (norm, carry))
+        return segmask, self._bank_update(carry, k, v, use_track)
+
+    def _bank_update(self, carry: BgCarry, k, v, did_track):
+        """FIFO-commit the previous frame's memory (k, v) every
+        `memory_step`-th tracking frame — `agents/stm.py:98-110`
+        mechanics on the scan carry."""
+        cap = self.bank_cap
+        if cap == 0:
+            return carry.bank_k, carry.bank_v, carry.bank_n
+        commit = did_track & (carry.fid % self.memory_step == 0)
+        full = carry.bank_n >= cap
+        rolled_k = jnp.where(full, jnp.roll(carry.bank_k, -1, axis=0),
+                             carry.bank_k)
+        rolled_v = jnp.where(full, jnp.roll(carry.bank_v, -1, axis=0),
+                             carry.bank_v)
+        idx = jnp.minimum(carry.bank_n, cap - 1)
+        new_k = jax.lax.dynamic_update_slice_in_dim(
+            rolled_k, k[None].astype(rolled_k.dtype), idx, axis=0)
+        new_v = jax.lax.dynamic_update_slice_in_dim(
+            rolled_v, v[None].astype(rolled_v.dtype), idx, axis=0)
+        bank_k = jnp.where(commit, new_k, carry.bank_k)
+        bank_v = jnp.where(commit, new_v, carry.bank_v)
+        bank_n = jnp.where(commit,
+                           jnp.minimum(carry.bank_n + 1, cap),
+                           carry.bank_n)
+        return bank_k, bank_v, bank_n
 
     def _matting_pass(self, frame, alpha_pre, mask):
         """object removal -> trimap -> matting (`bg.py:67-70,92-95`)."""
@@ -146,31 +201,53 @@ class FusedBgPipeline:
         return self.vmat.device_forward_impl(
             self.vmat.variables, frame, alpha_pre, trimap, self.work_hw)
 
-    def _per_frame_background(self, frame, alpha):
+    def _per_frame_background(self, frame, alpha, bg_prev):
         """(1-a)*frame, regionfill behind dilated binarized alpha
         (`bg.py:71-83`). The V-channel un-blend + 3-channel CG solve stays
-        on device; half-res solve like the reference's factor handling."""
+        on device; half-res solve like the reference's factor handling.
+
+        `bg_prev` (solve-res, from the scan carry) warm-starts the CG:
+        the background changes slowly frame to frame, so steady-state
+        solves converge in a fraction of the cold-start iterations and
+        the CG while_loop exits early. Returns (bg, bg_sol) with
+        `bg_sol` the new solve-res warm start."""
         a = (alpha / 255.0)[..., None]
         bg = jnp.clip((1.0 - a) * bgr2hsv(frame), 0.0, 255.0)
         bg = hsv2bgr(bg)
         hole = morph.dilate(jnp.where(alpha > 128, 255.0, 0.0), 3, 2)
-        channels = [regionfill(bg[..., c], hole, 0.5, cg_iters=200)
-                    for c in range(3)]
-        return jnp.stack(channels, axis=-1)
+        channels, sols = [], []
+        for c in range(3):
+            filled, sol = regionfill_with_state(
+                bg[..., c], hole, 0.5, cg_iters=200,
+                x0=bg_prev[..., c])
+            channels.append(filled)
+            sols.append(sol)
+        return jnp.stack(channels, axis=-1), jnp.stack(sols, axis=-1)
 
-    def _stm_track_mask(self, carry: BgCarry, norm: jax.Array) -> jax.Array:
-        """Propagate the previous frame's alpha through STM (the
-        tracking branch of `_segment`, 2-frame contract)."""
+    def _stm_track_mask(self, carry: BgCarry, norm: jax.Array):
+        """Propagate the previous frame's alpha through STM — the
+        tracking branch of `_segment_and_bank`. The segment read attends
+        over the committed ring-bank slots PLUS the previous frame's
+        memory, so a subject that vanishes behind an occluder for a few
+        frames still matches its pre-occlusion keys. Returns
+        (mask, k, v) with (k, v) the prev-frame memory for the bank."""
         mask_prev = (carry.alpha_pre >= 128).astype(jnp.float32)
         k, v = self.stm.model.apply(
             self.stm.variables, carry.frame_prev[None],
             mask_prev[None], 1.0 - mask_prev[None],
             method=lambda m, f, mf, mb: m.memorize(f, mf, mb))
+        cap = self.bank_cap
+        eff_k = jnp.concatenate(
+            [carry.bank_k.astype(k.dtype)[None], k[:, None]], axis=1)
+        eff_v = jnp.concatenate(
+            [carry.bank_v.astype(v.dtype)[None], v[:, None]], axis=1)
+        slot_ids = jnp.arange(cap + 1)[None, :]
+        valid = (slot_ids < carry.bank_n) | (slot_ids == cap)
         logits = self.stm.model.apply(
-            self.stm.variables, norm[None], k[:, None], v[:, None],
-            jnp.asarray([[True]]),
+            self.stm.variables, norm[None], eff_k, eff_v, valid,
             method=lambda m, f, mk, mv, vl: m.segment(f, mk, mv, vl))
-        return jnp.argmax(logits[0], axis=-1).astype(jnp.float32) * 255.0
+        mask = jnp.argmax(logits[0], axis=-1).astype(jnp.float32) * 255.0
+        return mask, k[0], v[0]
 
     # -- per-frame step --------------------------------------------------------
     def _prep_frame(self, frame_full: jax.Array) -> jax.Array:
@@ -182,8 +259,8 @@ class FusedBgPipeline:
     def _step(self, carry: BgCarry, frame_full: jax.Array):
         frame = self._prep_frame(frame_full)
         norm = imnormalize(frame)
-        segmask = self._segment(carry, frame, norm)
-        return self._post_seg(carry, frame, norm, segmask)
+        segmask, bank = self._segment_and_bank(carry, frame, norm)
+        return self._post_seg(carry, frame, norm, segmask, bank)
 
     def _step_batched(self, carries: BgCarry, frames_b: jax.Array):
         """Per-frame step over S stacked segments. Like
@@ -206,25 +283,40 @@ class FusedBgPipeline:
             # the STM forward is hoisted behind the mirror cond of the
             # seed branch: on steps where EVERY segment seeds (frame 0,
             # short segments) no tracking compute runs at all
-            tracked = jax.lax.cond(
-                (~need_seed).any(),
-                lambda c, nr: jax.vmap(self._stm_track_mask)(c, nr),
-                lambda c, nr: jnp.zeros(nr.shape[:3], jnp.float32),
-                carries, norms)
+            s = frames.shape[0]
+            hm, wm = self.work_hw[0] // 16, self.work_hw[1] // 16
+
+            def track_all(c, nr):
+                return jax.vmap(self._stm_track_mask)(c, nr)
+
+            def track_none(c, nr):
+                return (jnp.zeros(nr.shape[:3], jnp.float32),
+                        jnp.zeros((s, hm, wm, 128), self.stm_dtype),
+                        jnp.zeros((s, hm, wm, 512), self.stm_dtype))
+
+            tracked, ks, vs = jax.lax.cond(
+                (~need_seed).any(), track_all, track_none, carries, norms)
+            banks = jax.vmap(self._bank_update)(carries, ks, vs,
+                                                ~need_seed)
         else:
             tracked = carries.alpha_pre
+            banks = (carries.bank_k, carries.bank_v, carries.bank_n)
         segmask = jnp.where(need_seed[:, None, None], seeds, tracked)
-        return jax.vmap(self._post_seg)(carries, frames, norms, segmask)
+        return jax.vmap(self._post_seg)(carries, frames, norms, segmask,
+                                        banks)
 
     def _post_seg(self, carry: BgCarry, frame: jax.Array, norm: jax.Array,
-                  segmask: jax.Array):
-        """Everything after segmentation (per sample)."""
+                  segmask: jax.Array, bank):
+        """Everything after segmentation (per sample). `bank` is the
+        updated (bank_k, bank_v, bank_n) from `_segment_and_bank`."""
         h, w = self.work_hw
         fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
 
-        # matting pass 1 + background estimation
+        # matting pass 1 + background estimation (CG warm-started from
+        # the previous frame's solved background)
         alpha1 = self._matting_pass(frame, carry.alpha_pre, segmask)
-        bgimg = self._per_frame_background(frame, alpha1)
+        bgimg, bg_sol = self._per_frame_background(frame, alpha1,
+                                                   carry.bg_prev)
 
         # background-difference mask (`bg.py:85-89`)
         diff = bgr2gray(jnp.abs(frame - bgimg))
@@ -241,7 +333,9 @@ class FusedBgPipeline:
 
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
-                                   frame_prev=norm, fid=carry.fid + 1))
+                                   frame_prev=norm, fid=carry.fid + 1,
+                                   bg_prev=bg_sol, bank_k=bank[0],
+                                   bank_v=bank[1], bank_n=bank[2]))
         if self.fetch == "device":
             # fg un-blend (`bg.py:99-102`) on device; 8 channels/px d2h
             bg_final = jnp.where((alpha == 0)[..., None], frame, bgimg)
@@ -280,18 +374,21 @@ class FusedBgPipeline:
             frame = resize(frame, self.work_hw)
         norm = imnormalize(frame)
 
-        segmask = self._segment(carry, frame, norm)
+        segmask, bank = self._segment_and_bank(carry, frame, norm)
         fg_exists = (segmask >= 128).sum() > self.fg_exist_thr * h * w
         alpha = self._matting_pass(frame, carry.alpha_pre, segmask)
         alpha = jnp.where(fg_exists, alpha, 0.0)
-        bgimg = self._per_frame_background(frame, alpha)
+        bgimg, bg_sol = self._per_frame_background(frame, alpha,
+                                                   carry.bg_prev)
         # no foreground -> the frame IS the background
         # (`bg_offline.py:69-70`)
         bgimg = jnp.where(fg_exists, bgimg, frame)
 
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
-                                   frame_prev=norm, fid=carry.fid + 1))
+                                   frame_prev=norm, fid=carry.fid + 1,
+                                   bg_prev=bg_sol, bank_k=bank[0],
+                                   bank_v=bank[1], bank_n=bank[2]))
         packed = jnp.concatenate(
             [segmask[..., None], jnp.clip(bgimg, 0.0, 255.0)],
             axis=-1).astype(jnp.uint8)
@@ -332,7 +429,11 @@ class FusedBgPipeline:
 
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=carry.tracking,
                                    frame_prev=carry.frame_prev,
-                                   fid=carry.fid + 1))
+                                   fid=carry.fid + 1,
+                                   bg_prev=carry.bg_prev,
+                                   bank_k=carry.bank_k,
+                                   bank_v=carry.bank_v,
+                                   bank_n=carry.bank_n))
         packed = jnp.concatenate(
             [alpha[..., None], jnp.clip(fg, 0.0, 255.0)],
             axis=-1).astype(jnp.uint8)
