@@ -71,3 +71,15 @@ def test_affine_warp_matches_cv2(rng):
     diff = np.abs(ours - ref)[4:-4, 4:-4]
     assert np.median(diff) <= 1.0
     assert diff.mean() < 3.0
+
+
+def test_affine_warp_axis_aligned_matches_general(rng):
+    """The MXU-matmul warp (SCHP fast path) vs map_coordinates."""
+    import jax.numpy as jnp
+    img = rng.rand(31, 47, 5).astype(np.float32) * 255.0
+    # a person-box style scale+translate (axis-aligned, non-integer)
+    m = np.array([[1.7, 0.0, -3.25], [0.0, 0.6, 4.5]], np.float32)
+    fast = np.asarray(geometry.affine_warp_axis_aligned(img, m, (24, 52)))
+    ref = np.asarray(geometry.affine_warp(
+        img, jnp.asarray(m), (24, 52)))
+    np.testing.assert_allclose(fast, ref, atol=2e-3)

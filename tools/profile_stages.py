@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--hw", type=str, default="544,960")
     parser.add_argument("--ops", type=str, default="all")
     parser.add_argument("--repeats", type=int, default=20)
+    parser.add_argument("--models", action="store_true",
+                        help="also bench the bg-mode model stages "
+                             "(matting UNet, STM track, SCHP seed, "
+                             "3-channel regionfill cold/warm) — needs "
+                             "weights/")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -132,6 +137,72 @@ def main():
         lambda a: regionfill(a, alpha_j, 0.5, 200), frame_j[..., 0])
     run("regionfill_50",
         lambda a: regionfill(a, alpha_j, 0.5, 50), frame_j[..., 0])
+
+    if args.models:
+        # model stages of the fused bg step (budget for BASELINE.md):
+        # matting UNet forward (runs 2x/frame), STM memorize+segment
+        # (per tracking frame), SCHP seed (per seed frame), and the
+        # 3-channel CG regionfill cold vs warm-started (the scan carries
+        # the previous frame's solve — `fused_bg._per_frame_background`)
+        from video_unscreen_tpu.config import load_config
+        from video_unscreen_tpu.agents.vmatting import VMattingAgent
+        from video_unscreen_tpu.agents.stm import STMAgent
+        from video_unscreen_tpu.pipeline.fused_green import (
+            _build_seed_segmenter, seed_mask)
+        from video_unscreen_tpu.ops.regionfill import (
+            regionfill_with_state, solve_shape)
+        from video_unscreen_tpu.ops.geometry import imnormalize
+
+        cfg = load_config("configs/bg.json")
+        long_side = max(h, w)
+        vmat = VMattingAgent(model_path=cfg["vmatting"].get("model_path"),
+                             input_long_side=long_side, dtype=jnp.bfloat16)
+        trimap = generate_trimap(alpha_j, 3, 5)
+        run("matting_unet",
+            lambda a: vmat.device_forward_impl(
+                vmat.variables, frame_j, a, trimap, (h, w)), alpha_j)
+
+        stm = STMAgent(model_path=cfg["stm"].get("model_path"),
+                       input_long_side=long_side, dtype=jnp.bfloat16,
+                       pallas_attention=False)
+        norm = imnormalize(frame_j)
+
+        def stm_track(mask):
+            mf = (mask >= 128).astype(jnp.float32)
+            k, v = stm.model.apply(
+                stm.variables, norm[None], mf[None], 1.0 - mf[None],
+                method=lambda m, f, a, b: m.memorize(f, a, b))
+            logits = stm.model.apply(
+                stm.variables, norm[None], k[:, None], v[:, None],
+                jnp.ones((1, 1), bool),
+                method=lambda m, f, mk, mv, vl: m.segment(f, mk, mv, vl))
+            return jnp.argmax(logits[0], -1).astype(jnp.float32) * 255.0
+
+        run("stm_track", stm_track, alpha_j)
+
+        seg = _build_seed_segmenter(cfg.get("binseg", {}), jnp.bfloat16)
+        run("schp_seed",
+            lambda a: seed_mask(seg, frame_j + a[..., None] * 0.0),
+            alpha_j)
+
+        hole = morph.dilate(jnp.where(alpha_j > 128, 255.0, 0.0), 3, 2)
+        sh, sw = solve_shape(h, w, 0.5)
+
+        def fill3(sols, warm=True):
+            outs = []
+            for c in range(3):
+                # cold still chains on `sols` (x0 ~ 0 numerically) so XLA
+                # cannot hoist the solve out of the timing loop
+                x0 = sols[..., c] if warm else sols[..., c] * 1e-20
+                _, s = regionfill_with_state(
+                    frame_j[..., c], hole, 0.5, cg_iters=200, x0=x0)
+                outs.append(s)
+            return jnp.stack(outs, axis=-1)
+
+        sols0 = jnp.zeros((sh, sw, 3), jnp.float32)
+        run("regionfill3_cold", lambda s: fill3(s, warm=False), sols0)
+        # chain on the previous solve — steady-state warm start
+        run("regionfill3_warm", lambda s: fill3(s, warm=True), sols0)
 
     for k, v in out.items():
         print(f"{k:24s} {v:8.3f} ms")

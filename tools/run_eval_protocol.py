@@ -35,7 +35,8 @@ def read_list(root, kind):
         return [ln.strip() for ln in fh if ln.strip()]
 
 
-def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4):
+def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4,
+             wire="bgr"):
     cfg_fn = "./configs/green.json" if mode == "green" else "./configs/bg.json"
     base = load_config(cfg_fn)
     for vid in vids:
@@ -46,7 +47,7 @@ def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4):
             if fused:
                 from video_unscreen_tpu.pipeline.fused_green import run_fused
                 run_fused(cfg, chunk_size=chunk,
-                          work_long_side=work_long_side)
+                          work_long_side=work_long_side, wire=wire)
             else:
                 from video_unscreen_tpu.pipeline import run_green
                 run_green(cfg)
@@ -54,7 +55,7 @@ def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4):
             if fused:
                 from video_unscreen_tpu.pipeline.fused_bg import run_fused
                 run_fused(cfg, chunk_size=chunk,
-                          work_long_side=work_long_side)
+                          work_long_side=work_long_side, wire=wire)
             else:
                 from video_unscreen_tpu.pipeline import run_bg
                 run_bg(cfg)
@@ -66,7 +67,7 @@ def run_mode(mode, root, vids, fused=True, work_long_side=288, chunk=4):
         print(f"[{mode}] {vid}: {time.time() - st:.1f}s")
 
 
-def score_mode(mode, root, results_dir):
+def score_mode(mode, root, results_dir, suffix=""):
     kind = "green" if mode == "green" else "natural"
     cfg = {"data": {
         "range": None,
@@ -75,7 +76,7 @@ def score_mode(mode, root, results_dir):
         "gt_data_tmpl": "*.*",
         "pred_data_dir": osp.join(root, f"test_{mode}_img"),
         "pred_data_tmpl": "alphamask_*.*",
-        "save_data_fn": osp.join(results_dir, f"test_{mode}.txt"),
+        "save_data_fn": osp.join(results_dir, f"test_{mode}{suffix}.txt"),
     }}
     return run_eval(cfg)
 
@@ -90,6 +91,19 @@ if __name__ == "__main__":
     parser.add_argument("--work_long_side", type=int, default=512)
     parser.add_argument("--modular", action="store_true",
                         help="use the modular (unfused) drivers")
+    parser.add_argument("--wire", type=str, default="bgr",
+                        choices=("bgr", "yuv420"),
+                        help="host->device frame format for the fused "
+                             "green/bg drivers (bg_step feeds device-"
+                             "resident BGR; wire n/a) — yuv420 is the "
+                             "bench/production wire, so running the "
+                             "protocol with both records the chroma-"
+                             "subsample quality delta")
+    parser.add_argument("--suffix", type=str, default="",
+                        help="appended to result filenames "
+                             "(test_<mode><suffix>.txt, "
+                             "protocol<suffix>.md) so runs at different "
+                             "operating points coexist in results/")
     parser.add_argument("--results_dir", type=str, default="./results",
                         help="where the reference-format result txts and "
                              "the markdown table land (committed into "
@@ -114,8 +128,9 @@ if __name__ == "__main__":
         kind = "green" if mode == "green" else "natural"
         vids = read_list(root, kind)
         run_mode(mode, root, vids, fused=not args.modular,
-                 work_long_side=args.work_long_side)
-        rows[mode] = score_mode(mode, root, args.results_dir)
+                 work_long_side=args.work_long_side, wire=args.wire)
+        rows[mode] = score_mode(mode, root, args.results_dir,
+                                suffix=args.suffix)
 
     # combined markdown table (goes into PARITY.md)
     lines = ["| mode | clip | MIOU | SAD | MSE | GRAD | CONN |",
@@ -126,6 +141,7 @@ if __name__ == "__main__":
                 f"| {mode} | {vid} | {m['miou']:.4f} | {m['sad']:.3f} | "
                 f"{m['mse']:.4f} | {m['grad']:.3f} | {m['conn']:.3f} |")
     table = "\n".join(lines)
-    with open(osp.join(args.results_dir, "protocol.md"), "w") as fh:
+    with open(osp.join(args.results_dir,
+                       f"protocol{args.suffix}.md"), "w") as fh:
         fh.write(table + "\n")
     print(table)

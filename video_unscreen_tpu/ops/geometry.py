@@ -177,6 +177,52 @@ def get_affine_params(center_xy, src_size, dst_hw, inv: bool = False) -> np.ndar
     return inv_m
 
 
+def _lerp_matrix(out_size: int, scale: float, offset: float,
+                 in_size: int) -> np.ndarray:
+    """(out_size, in_size) bilinear-resampling matrix for the 1-D map
+    src = scale * dst + offset; out-of-range neighbors contribute 0
+    (map_coordinates mode="constant", cval=0 semantics)."""
+    o = np.arange(out_size, dtype=np.float64)
+    src = scale * o + offset
+    i0 = np.floor(src).astype(np.int64)
+    w = (src - i0).astype(np.float64)
+    A = np.zeros((out_size, in_size), np.float64)
+    for idx, wt in ((i0, 1.0 - w), (i0 + 1, w)):
+        valid = (idx >= 0) & (idx < in_size)
+        np.add.at(A, (o[valid].astype(np.int64), idx[valid]), wt[valid])
+    return A.astype(np.float32)
+
+
+def affine_warp_axis_aligned(img: jax.Array, matrix: np.ndarray,
+                             out_hw: Tuple[int, int]) -> jax.Array:
+    """`affine_warp` for axis-aligned matrices (pure scale + translate,
+    the only shape the SCHP person-box warp produces) as two dense
+    matmuls: out = A_y @ img @ A_x^T with host-built 2-nonzeros-per-row
+    resampling matrices.
+
+    TPU-native: `map_coordinates` lowers to 4 gathers per output pixel
+    per channel (measured 476 ms for SCHP's 20-channel logits warp back
+    to 960x544); the matmul form runs on the MXU in well under a
+    millisecond. `matrix` must be HOST data (the resampling matrices are
+    trace-time constants). Bit-parity with `affine_warp` up to matmul
+    summation order (tested in `tests/test_geometry.py`).
+    """
+    matrix = np.asarray(matrix, np.float64)
+    assert matrix[0, 1] == 0.0 and matrix[1, 0] == 0.0, (
+        "affine_warp_axis_aligned requires an axis-aligned matrix")
+    sx, tx = matrix[0, 0], matrix[0, 2]
+    sy, ty = matrix[1, 1], matrix[1, 2]
+    out_h, out_w = out_hw
+    in_h, in_w = img.shape[:2]
+    # output(dst) samples input at src = M^-1 dst
+    ay = jnp.asarray(_lerp_matrix(out_h, 1.0 / sy, -ty / sy, in_h))
+    ax = jnp.asarray(_lerp_matrix(out_w, 1.0 / sx, -tx / sx, in_w))
+    tmp = jnp.einsum("oi,ij...->oj...", ay, img.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("pj,oj...->op...", ax, tmp,
+                      preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def affine_warp(img: jax.Array, matrix: jax.Array,
                 out_hw: Tuple[int, int]) -> jax.Array:

@@ -78,12 +78,26 @@ def _morph(img: jax.Array, offsets, iters: int, is_dilate: bool) -> jax.Array:
     return out
 
 
+def _use_pallas_morph(mask: jax.Array) -> bool:
+    """TPU fast path guard: 2-D masks big enough that the VMEM kernel's
+    dispatch beats XLA's shifted-max chain, small enough to sit whole in
+    VMEM (`ops/pallas/morph.py`)."""
+    return (jax.default_backend() == "tpu" and mask.ndim == 2
+            and 128 * 128 <= mask.size and mask.size * 4 <= (6 << 20))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def dilate(mask: jax.Array, kernelsize: int = 5, iters: int = 10) -> jax.Array:
     """Grayscale dilation with a cv2 ellipse kernel, iterated.
 
-    Equivalent of `unscreen/utils/maskprocess.py:7-19`.
+    Equivalent of `unscreen/utils/maskprocess.py:7-19`. On TPU, large
+    2-D masks run the VMEM-resident Pallas chain (bit-exact, gated in
+    `tests/test_pallas_morph.py`).
     """
+    if _use_pallas_morph(mask):
+        from .pallas.morph import pallas_dilate
+        return pallas_dilate(mask, kernelsize, iters,
+                             True).astype(mask.dtype)
     return _morph(mask, _se_offsets(ellipse_kernel(kernelsize)), iters, True)
 
 
@@ -93,6 +107,10 @@ def erode(mask: jax.Array, kernelsize: int = 5, iters: int = 10) -> jax.Array:
 
     Equivalent of `unscreen/utils/maskprocess.py:22-34`.
     """
+    if _use_pallas_morph(mask):
+        from .pallas.morph import pallas_dilate
+        return pallas_dilate(mask, kernelsize, iters,
+                             False).astype(mask.dtype)
     return _morph(mask, _se_offsets(ellipse_kernel(kernelsize)), iters, False)
 
 

@@ -17,14 +17,24 @@ from .morphology import dilate, erode
 from .compositing import is_pixel_inrange
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def generate_trimap(mask: jax.Array, kernelsize: int = 3,
-                    iters: int = 5) -> jax.Array:
+                    iters: int = 5,
+                    use_pallas: bool | None = None) -> jax.Array:
     """Mask -> {0, 128, 255} trimap: unknown = dilate - erode band.
 
     Equivalent of `unscreen/trimap/agent.py:35-61` at the working
     resolution (the reference resizes to long side 960 around this core).
+    On TPU the dilate/erode chain + selects run as one VMEM-resident
+    Pallas pass (`ops/pallas/morph.py` — bit-exact, gated in tests);
+    other backends keep the XLA shifted-max path.
     """
+    if use_pallas is None:
+        from .morphology import _use_pallas_morph
+        use_pallas = _use_pallas_morph(mask)
+    if use_pallas:
+        from .pallas.morph import pallas_trimap
+        return pallas_trimap(mask, kernelsize, iters).astype(mask.dtype)
     dilated = dilate(mask, kernelsize, iters)
     eroded = erode(mask, kernelsize, iters)
     trimap = jnp.full(mask.shape, 128.0, mask.dtype)
