@@ -1,0 +1,76 @@
+"""Occluder survival in fused bg mode (VERDICT r3 item 6).
+
+The round-3 protocol recorded natural_occl MIOU 0.62. Diagnosis (this
+round): the STM tracking mask BALLOONS onto the foreground-colored
+pillar at the first tracked frame — key-similarity reads have no notion
+of "that pillar was background a frame ago" — so the failure is
+distractor latching, not memory loss across the occlusion. Two
+mitigations now ship in the fused scan:
+
+  - a small STM ring bank in the carry (`BgCarry.bank_*`, capacity
+    `stm.fused_bank_capacity`; reference bank semantics
+    `unscreen/stm/agent.py:145-168`), and
+  - balloon fallback (`FusedBgPipeline._ballooned`): a tracked mask
+    whose area jumps `stm.balloon_ratio`x over the previous alpha is
+    discarded for that frame's SCHP seed, which localizes the person
+    correctly (measured: clip mean 0.62 -> 0.77, tracked frames 0.91+).
+
+This gate runs the SAME clip the eval protocol calls `natural_occl`
+(`tools/make_eval_set.py`: kind=natural, seed=41, variant=occluder) at
+reduced resolution and asserts the protocol floor.
+"""
+import os.path as osp
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from video_unscreen_tpu.ops import metrics as M
+from video_unscreen_tpu.ops.geometry import resize
+from video_unscreen_tpu.parallel.data_synth import make_eval_clip
+
+HUMAN_W = "weights/schp_human.msgpack"
+
+OCCL_CFG = {
+    "cuda_device": 0,
+    "fg_exist_thr": 0.001,
+    "bg_mask": {"thr": 25, "fusion_weight": 0.1},
+    "binseg": {"type": "human", "model_path": HUMAN_W},
+    "stm": {"model_path": "weights/stm.msgpack", "input_long_side": 288,
+            "memory_step": 2, "memory_capacity": 4,
+            "fused_bank_capacity": 2},
+    "objectremoval": {
+        "score_map_center": {"landscape": [0.5, 0.5],
+                             "portrait": [0.6, 0.5]},
+        "saliency_thr": 0.00001,
+        "consensus_thr": 0.5,
+    },
+    "trimap": {"input_long_side": 288, "kernelsize": 3, "iters": 3,
+               "color_winsize": [10, 100, 180]},
+    "vmatting": {"model_path": "weights/matting_unet.msgpack",
+                 "input_long_side": 288},
+    "data": {"dst_img_dir": "/tmp/unscreen_bg_occl_out", "range": None},
+}
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not osp.exists(HUMAN_W),
+                    reason="trained SCHP weights not shipped yet")
+def test_bg_mode_occluder_gate():
+    from video_unscreen_tpu.pipeline.fused_bg import FusedBgPipeline
+    frames, gts = make_eval_clip("natural", n=12, h=162, w=288, seed=41,
+                                 variant="occluder")
+    h, w = frames[0].shape[:2]
+    pipe = FusedBgPipeline(OCCL_CFG, (h, w), work_long_side=288)
+    # the occluder mitigations under test
+    assert pipe.bank_cap >= 2 and pipe.balloon_ratio > 0
+    alphas, segmasks, fgs, bgs = pipe.run(frames, chunk_size=4)
+    mious = []
+    for i, gt in enumerate(gts):
+        gt_small = np.asarray(resize(jnp.asarray(gt, jnp.float32),
+                                     alphas[i].shape))
+        mious.append(float(M.miou(jnp.asarray(gt_small),
+                                  jnp.asarray(alphas[i], jnp.float32))))
+    # the protocol floor VERDICT r3 item 6 asks for (was 0.62 without
+    # the ring bank)
+    assert np.mean(mious) > 0.75, mious

@@ -138,6 +138,17 @@ def main():
     run("regionfill_50",
         lambda a: regionfill(a, alpha_j, 0.5, 50), frame_j[..., 0])
 
+    from video_unscreen_tpu.ops.compositing import color_correct
+    from video_unscreen_tpu.ops.color import yuv420_to_bgr
+    run("color_correct",
+        lambda a: color_correct(frame_j, a, bg_color, max(h, w)), alpha_j)
+    i420 = jnp.asarray(
+        rng.randint(0, 255, (h * 3 // 2, w), dtype=np.uint8))
+    run("i420_to_bgr",
+        lambda y: (yuv420_to_bgr(y).sum(-1) % 251.0).astype(jnp.uint8)
+        [:h * 3 // 2 - h].repeat(3, 0)[:h * 3 // 2].reshape(y.shape),
+        i420)
+
     if args.models:
         # model stages of the fused bg step (budget for BASELINE.md):
         # matting UNet forward (runs 2x/frame), STM memorize+segment

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import SCHPHumanParser, build_deeplab
-from ..ops.geometry import (affine_warp, imnormalize, inv_pad_resize,
+from ..ops.geometry import (affine_warp_axis_aligned, imnormalize,
+                            inv_pad_resize,
                             pad_resize, resize)
 from ..utils.checkpoint import load_variables
 
@@ -267,21 +268,34 @@ class HumanSegAgent:
                        np.float32)
         return fwd, inv
 
-    def _forward_core(self, variables, img: jax.Array, fwd: jax.Array,
-                      ori_hw: Tuple[int, int], inv: jax.Array) -> jax.Array:
-        warped = affine_warp(img, fwd, self.input_size)
+    def _forward_core(self, variables, img: jax.Array, fwd: np.ndarray,
+                      ori_hw: Tuple[int, int], inv: np.ndarray) -> jax.Array:
+        # the person-box warp is axis-aligned (`_transforms`), so both
+        # warps run as MXU matmuls — the map_coordinates form gathered
+        # 4x per output pixel per channel and cost 476 ms/frame for the
+        # 20-channel logits warp alone (tools/profile_stages.py)
+        warped = affine_warp_axis_aligned(img, fwd, self.input_size)
         norm = imnormalize(warped)
         logits = self.model.apply(variables, norm[None])[0]
         logits = logits.astype(jnp.float32)
         logits = resize(logits, self.input_size)  # upsample 1/4 -> input
-        back = affine_warp(logits, inv, ori_hw)  # per-channel inverse warp
+        back = affine_warp_axis_aligned(logits, inv, ori_hw)
         pred = jnp.argmax(back, axis=-1)
         return (pred > 0).astype(jnp.float32) * 255.0
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def device_forward(self, variables, img: jax.Array, fwd: jax.Array,
-                       ori_hw: Tuple[int, int], inv: jax.Array) -> jax.Array:
-        return self._forward_core(variables, img, fwd, ori_hw, inv)
+    @functools.lru_cache(maxsize=8)
+    def _jitted_forward(self, ori_hw: Tuple[int, int]):
+        """Compiled whole-frame forward for one geometry — the affine
+        resampling matrices are trace-time constants of (h, w)."""
+        fwd, inv = self._transforms(*ori_hw)
+
+        def run(variables, img):
+            return self._forward_core(variables, img, fwd, ori_hw, inv)
+        return jax.jit(run)
+
+    def device_forward(self, variables, img: jax.Array,
+                       ori_hw: Tuple[int, int]) -> jax.Array:
+        return self._jitted_forward(ori_hw)(variables, img)
 
     def predict_mask_impl(self, variables, frame: jax.Array) -> jax.Array:
         """Whole-frame person mask at the frame's own resolution, unjitted
@@ -290,13 +304,10 @@ class HumanSegAgent:
         affine matrices are trace-time constants of the work geometry."""
         h, w = frame.shape[:2]
         fwd, inv = self._transforms(h, w)
-        return self._forward_core(variables, frame, jnp.asarray(fwd),
-                                  (h, w), jnp.asarray(inv))
+        return self._forward_core(variables, frame, fwd, (h, w), inv)
 
     def forward(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]
-        fwd, inv = self._transforms(h, w)
         pred = self.device_forward(self.variables,
-                                   jnp.asarray(img, jnp.float32),
-                                   jnp.asarray(fwd), (h, w), jnp.asarray(inv))
+                                   jnp.asarray(img, jnp.float32), (h, w))
         return np.asarray(pred).astype(np.uint8)

@@ -94,6 +94,15 @@ class FusedBgPipeline:
         self.bank_cap = (int(stm_cfg.get("fused_bank_capacity", 2))
                          if self.use_stm else 0)
         self.memory_step = int(stm_cfg.get("memory_step", 2))
+        # STM tracking can latch onto foreground-colored static objects
+        # (key-similarity reads have no notion of "that pillar was
+        # background a frame ago") — the mask then BALLOONS in one step.
+        # When the tracked area exceeds `balloon_ratio` x the previous
+        # frame's alpha area, the step falls back to the seed segmenter
+        # for that frame (SCHP localizes the person correctly; measured
+        # natural_occl MIOU 0.62 -> see results/protocol: the ballooned
+        # mask absorbed the occluder pillar). 0 disables.
+        self.balloon_ratio = float(stm_cfg.get("balloon_ratio", 1.6))
         if self.use_stm:
             # einsum memory read: the STM call sits inside the scan's
             # tracking `lax.cond`, where XLA's scoped-VMEM accounting
@@ -136,34 +145,57 @@ class FusedBgPipeline:
             bank_n=jnp.asarray(0, jnp.int32)))
 
     # -- sub-stages ----------------------------------------------------------
+    def _ballooned(self, tracked: jax.Array, alpha_pre: jax.Array):
+        """True when the tracked mask's area jumped `balloon_ratio`x over
+        the previous frame's alpha — the STM-latched-onto-a-distractor
+        signature (a subject's area changes a few % frame to frame; a
+        pillar absorbed into the mask doubles it in one step)."""
+        if self.balloon_ratio <= 0:
+            return jnp.asarray(False)
+        ta = (tracked >= 128).sum()
+        pa = (alpha_pre >= 128).sum()
+        return ta > self.balloon_ratio * jnp.maximum(pa, 1)
+
     def _segment_and_bank(self, carry: BgCarry, frame, norm):
         """STM tracking when a subject was present, else the seed
         segmenter — SCHP/DeepLab per the binseg config, chroma as the
-        weights-free fallback (`bg.py:49-56`). Returns
+        weights-free fallback (`bg.py:49-56`). A tracked mask that
+        balloons (`_ballooned`) is discarded for THIS frame's seed
+        segmenter output — same-frame fallback, so `alpha_pre` stays
+        clean and every subsequent balloon re-triggers. Returns
         (segmask, (bank_k, bank_v, bank_n)) — tracking frames commit
-        their memory to the ring bank (see module docstring)."""
+        their (previous-frame, hence clean) memory to the ring bank
+        (see module docstring)."""
         bank = (carry.bank_k, carry.bank_v, carry.bank_n)
+        use_track = carry.tracking & (carry.fid > 0)
         if not self.use_stm:
             segmask = jax.lax.cond(
-                carry.tracking & (carry.fid > 0),
+                use_track,
                 lambda op: op[0],
                 lambda op: seed_mask(self.seg, op[1]),
                 (carry.alpha_pre, frame))
             return segmask, bank
 
+        hm, wm = self.work_hw[0] // 16, self.work_hw[1] // 16
+
         def stm_branch(args):
             norm_, carry_ = args
             return self._stm_track_mask(carry_, norm_)
 
-        def seed_branch(args):
-            hm, wm = self.work_hw[0] // 16, self.work_hw[1] // 16
-            return (seed_mask(self.seg, frame),
+        def stm_zero(args):
+            return (jnp.zeros(self.work_hw, jnp.float32),
                     jnp.zeros((hm, wm, 128), self.stm_dtype),
                     jnp.zeros((hm, wm, 512), self.stm_dtype))
 
-        use_track = carry.tracking & (carry.fid > 0)
-        segmask, k, v = jax.lax.cond(use_track, stm_branch, seed_branch,
+        tracked, k, v = jax.lax.cond(use_track, stm_branch, stm_zero,
                                      (norm, carry))
+        balloon = use_track & self._ballooned(tracked, carry.alpha_pre)
+        use_seed = (~use_track) | balloon
+        seed = jax.lax.cond(
+            use_seed,
+            lambda fr: seed_mask(self.seg, fr),
+            lambda fr: jnp.zeros(fr.shape[:2], jnp.float32), frame)
+        segmask = jnp.where(use_seed, seed, tracked)
         return segmask, self._bank_update(carry, k, v, use_track)
 
     def _bank_update(self, carry: BgCarry, k, v, did_track):
@@ -273,12 +305,6 @@ class FusedBgPipeline:
         norms = jax.vmap(imnormalize)(frames)
         need_seed = ~(carries.tracking & (carries.fid > 0))  # (S,)
 
-        def seed_all(fr):
-            return jax.vmap(lambda f: seed_mask(self.seg, f))(fr)
-
-        seeds = jax.lax.cond(
-            need_seed.any(), seed_all,
-            lambda fr: jnp.zeros(fr.shape[:3], jnp.float32), frames)
         if self.use_stm:
             # the STM forward is hoisted behind the mirror cond of the
             # seed branch: on steps where EVERY segment seeds (frame 0,
@@ -298,9 +324,21 @@ class FusedBgPipeline:
                 (~need_seed).any(), track_all, track_none, carries, norms)
             banks = jax.vmap(self._bank_update)(carries, ks, vs,
                                                 ~need_seed)
+            # ballooned tracking (STM latched onto a distractor) falls
+            # back to the seed segmenter for this frame — `_ballooned`
+            balloon = (~need_seed) & jax.vmap(self._ballooned)(
+                tracked, carries.alpha_pre)
+            need_seed = need_seed | balloon
         else:
             tracked = carries.alpha_pre
             banks = (carries.bank_k, carries.bank_v, carries.bank_n)
+
+        def seed_all(fr):
+            return jax.vmap(lambda f: seed_mask(self.seg, f))(fr)
+
+        seeds = jax.lax.cond(
+            need_seed.any(), seed_all,
+            lambda fr: jnp.zeros(fr.shape[:3], jnp.float32), frames)
         segmask = jnp.where(need_seed[:, None, None], seeds, tracked)
         return jax.vmap(self._post_seg)(carries, frames, norms, segmask,
                                         banks)
