@@ -53,6 +53,8 @@ class BgCarry(NamedTuple):
     bank_k: jax.Array       # (cap, hm, wm, 128) STM ring-bank keys
     bank_v: jax.Array       # (cap, hm, wm, 512) STM ring-bank values
     bank_n: jax.Array       # scalar int32, committed slots
+    bg_model: jax.Array     # (H, W, 3) temporal background EMA
+    bg_seen: jax.Array      # (H, W) observed-as-background weight
 
 
 class FusedBgPipeline:
@@ -121,6 +123,22 @@ class FusedBgPipeline:
             build_score_map(self.work_hw[0], self.work_hw[1], cfg))
         self.fg_exist_thr = float(cfg["fg_exist_thr"])
         self.bg_mask_thr = float(cfg["bg_mask"]["thr"])
+        # streaming always-bg: pixels the matte calls background
+        # accumulate into a temporal EMA carried through the scan, and
+        # the bg-difference mask diffs against
+        # beta*perframe + (1-beta)*EMA wherever the EMA has observations
+        # — the reference's bg_offline stage-2 temporal mean + stage-3
+        # beta-fusion (`bg_offline.py:101-113,140-141`, fusion_weight)
+        # made streaming. Where the subject currently stands, the
+        # membrane fill guessed the occluded background; the EMA holds
+        # the pixels actually SEEN there, so static foreground-colored
+        # structures (the natural_occl pillar) diff to ~0 instead of
+        # diffing against a hallucinated fill. `fusion_weight` 1 (or
+        # `temporal: false`) disables.
+        self.bg_fusion_beta = float(cfg["bg_mask"].get("fusion_weight",
+                                                       0.1))
+        self.bg_temporal = bool(cfg["bg_mask"].get("temporal", True))
+        self.bg_ema_rate = float(cfg["bg_mask"].get("ema_rate", 0.3))
         self.saliency_thr = float(cfg["objectremoval"]["saliency_thr"])
         self.consensus_thr = float(cfg["objectremoval"]["consensus_thr"])
         # see FusedGreenPipeline: CC labeling/stats resolution divisor
@@ -142,7 +160,9 @@ class FusedBgPipeline:
             bg_prev=jnp.zeros((sh, sw, 3), jnp.float32),
             bank_k=jnp.zeros((cap, hm, wm, 128), self.stm_dtype),
             bank_v=jnp.zeros((cap, hm, wm, 512), self.stm_dtype),
-            bank_n=jnp.asarray(0, jnp.int32)))
+            bank_n=jnp.asarray(0, jnp.int32),
+            bg_model=jnp.zeros((h, w, 3), jnp.float32),
+            bg_seen=jnp.zeros((h, w), jnp.float32)))
 
     # -- sub-stages ----------------------------------------------------------
     def _ballooned(self, tracked: jax.Array, alpha_pre: jax.Array):
@@ -155,6 +175,26 @@ class FusedBgPipeline:
         ta = (tracked >= 128).sum()
         pa = (alpha_pre >= 128).sum()
         return ta > self.balloon_ratio * jnp.maximum(pa, 1)
+
+    def _bg_model_update(self, carry: BgCarry, frame, alpha):
+        """Fold pixels the matte calls background (alpha == 0, the same
+        confidence `bg.py:99-102` uses to copy the frame into the output
+        bg) into the streaming always-bg EMA. First observation takes
+        the frame directly; a moving subject vacates any pixel within a
+        few frames, so absorption of a briefly-missed subject decays at
+        `ema_rate`."""
+        if not self.bg_temporal:
+            return carry.bg_model, carry.bg_seen
+        is_bg = alpha == 0
+        r = self.bg_ema_rate
+        first = is_bg & (carry.bg_seen == 0)
+        ema = (1.0 - r) * carry.bg_model + r * frame
+        upd = jnp.where(first[..., None], frame, ema)
+        bg_model = jnp.where(is_bg[..., None], upd, carry.bg_model)
+        bg_seen = jnp.where(is_bg,
+                            jnp.minimum(carry.bg_seen + 1.0, 255.0),
+                            carry.bg_seen)
+        return bg_model, bg_seen
 
     def _segment_and_bank(self, carry: BgCarry, frame, norm):
         """STM tracking when a subject was present, else the seed
@@ -356,8 +396,19 @@ class FusedBgPipeline:
         bgimg, bg_sol = self._per_frame_background(frame, alpha1,
                                                    carry.bg_prev)
 
-        # background-difference mask (`bg.py:85-89`)
-        diff = bgr2gray(jnp.abs(frame - bgimg))
+        # background-difference mask (`bg.py:85-89`) — against the
+        # per-frame estimate beta-fused with the streaming always-bg EMA
+        # where that has observations (stage-2/3 semantics, see __init__)
+        if self.bg_temporal:
+            seen = (carry.bg_seen > 0)[..., None]
+            bg_for_diff = jnp.where(
+                seen,
+                self.bg_fusion_beta * bgimg
+                + (1.0 - self.bg_fusion_beta) * carry.bg_model,
+                bgimg)
+        else:
+            bg_for_diff = bgimg
+        diff = bgr2gray(jnp.abs(frame - bg_for_diff))
         alphabg = jnp.where(diff > self.bg_mask_thr, 255.0, diff)
         alphabg = morph.dilate(jnp.clip(alphabg, 0.0, 255.0), 4, 2)
 
@@ -369,11 +420,13 @@ class FusedBgPipeline:
         # reconstruct identical artifacts (`bg.py:59-66` gates at seg time)
         alpha = jnp.where(fg_exists, alpha, 0.0)
 
+        bg_model, bg_seen = self._bg_model_update(carry, frame, alpha)
         tracking = (alpha >= 128).sum() > self.fg_exist_thr * h * w
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
                                    frame_prev=norm, fid=carry.fid + 1,
                                    bg_prev=bg_sol, bank_k=bank[0],
-                                   bank_v=bank[1], bank_n=bank[2]))
+                                   bank_v=bank[1], bank_n=bank[2],
+                                   bg_model=bg_model, bg_seen=bg_seen))
         if self.fetch == "device":
             # fg un-blend (`bg.py:99-102`) on device; 8 channels/px d2h
             bg_final = jnp.where((alpha == 0)[..., None], frame, bgimg)
@@ -426,7 +479,9 @@ class FusedBgPipeline:
         new_carry = _canon(BgCarry(alpha_pre=alpha, tracking=tracking,
                                    frame_prev=norm, fid=carry.fid + 1,
                                    bg_prev=bg_sol, bank_k=bank[0],
-                                   bank_v=bank[1], bank_n=bank[2]))
+                                   bank_v=bank[1], bank_n=bank[2],
+                                   bg_model=carry.bg_model,
+                                   bg_seen=carry.bg_seen))
         packed = jnp.concatenate(
             [segmask[..., None], jnp.clip(bgimg, 0.0, 255.0)],
             axis=-1).astype(jnp.uint8)
@@ -471,7 +526,9 @@ class FusedBgPipeline:
                                    bg_prev=carry.bg_prev,
                                    bank_k=carry.bank_k,
                                    bank_v=carry.bank_v,
-                                   bank_n=carry.bank_n))
+                                   bank_n=carry.bank_n,
+                                   bg_model=carry.bg_model,
+                                   bg_seen=carry.bg_seen))
         packed = jnp.concatenate(
             [alpha[..., None], jnp.clip(fg, 0.0, 255.0)],
             axis=-1).astype(jnp.uint8)
