@@ -71,6 +71,8 @@ def test_bg_mode_occluder_gate():
                                      alphas[i].shape))
         mious.append(float(M.miou(jnp.asarray(gt_small),
                                   jnp.asarray(alphas[i], jnp.float32))))
-    # the protocol floor VERDICT r3 item 6 asks for (was 0.62 without
-    # the ring bank)
-    assert np.mean(mious) > 0.75, mious
+    # VERDICT r3 item 6 asked for >= 0.75 (was 0.62 unmitigated);
+    # measured 0.833 at this geometry with balloon fallback + streaming
+    # always-bg EMA (0.885 at work 512, 0.910 at the 1080p protocol
+    # point), so the floor holds margin at 0.78
+    assert np.mean(mious) > 0.78, mious

@@ -58,9 +58,12 @@ def test_bg_mode_nongreen_fused():
                                      alphas[i].shape))
         mious.append(float(M.miou(jnp.asarray(gt_small),
                                   jnp.asarray(alphas[i], jnp.float32))))
-    assert np.mean(mious) > 0.8, mious
+    # raised 0.8 -> 0.85 in round 4 (VERDICT r3 item 9): measured 0.894
+    # mean / 0.898 tail at this geometry, so the gate now has headroom
+    # to catch gradual decay instead of sitting 0.6% above the floor
+    assert np.mean(mious) > 0.85, mious
     # the tail must hold too — tracking drift over 12 frames fails here
-    assert np.mean(mious[-4:]) > 0.8, mious
+    assert np.mean(mious[-4:]) > 0.85, mious
 
 
 @pytest.mark.slow
