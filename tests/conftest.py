@@ -6,17 +6,25 @@ parallel/sharding tests exercise real collectives.
 """
 import os
 
+# VU_TPU_TESTS=1 keeps the real backend so @pytest.mark.tpu tests can
+# verify Mosaic kernel lowerings on device (the CPU suite only exercises
+# Pallas kernels interpreted — ADVICE round-4 low #4). The TPU is
+# single-client: run only the tpu-marked files in that mode.
+_TPU_MODE = bool(os.environ.get("VU_TPU_TESTS"))
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_MODE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 # The axon TPU plugin overrides the JAX_PLATFORMS env var; the config
 # update below wins over the plugin.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # jit-level cache only: XLA's internal AOT sub-caches record compile-host
@@ -26,6 +34,15 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = _TPU_MODE and jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(
+        reason="needs a real TPU (VU_TPU_TESTS=1 on a TPU host)")
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
 
 
 @pytest.fixture

@@ -244,6 +244,12 @@ class HumanSegAgent:
         self.model = SCHPHumanParser(num_classes=20, layers=tuple(layers),
                                      dtype=dtype)
         self.input_size = (int(crop_h), int(crop_w))
+        # per-instance compiled-forward cache keyed on geometry. NOT
+        # functools.lru_cache on the bound method: that keys on (self,
+        # ori_hw) in a class-level cache, pinning instances (weights +
+        # executables) alive for the process and thrashing past maxsize
+        # (ADVICE round-4 low).
+        self._forward_cache: dict = {}
         init_in = jnp.zeros((1, 64, 64, 3), dtype)
         self.variables = self.model.init(jax.random.PRNGKey(seed), init_in)
         if model_path:
@@ -283,15 +289,17 @@ class HumanSegAgent:
         pred = jnp.argmax(back, axis=-1)
         return (pred > 0).astype(jnp.float32) * 255.0
 
-    @functools.lru_cache(maxsize=8)
     def _jitted_forward(self, ori_hw: Tuple[int, int]):
         """Compiled whole-frame forward for one geometry — the affine
         resampling matrices are trace-time constants of (h, w)."""
-        fwd, inv = self._transforms(*ori_hw)
+        fn = self._forward_cache.get(ori_hw)
+        if fn is None:
+            fwd, inv = self._transforms(*ori_hw)
 
-        def run(variables, img):
-            return self._forward_core(variables, img, fwd, ori_hw, inv)
-        return jax.jit(run)
+            def run(variables, img):
+                return self._forward_core(variables, img, fwd, ori_hw, inv)
+            fn = self._forward_cache[ori_hw] = jax.jit(run)
+        return fn
 
     def device_forward(self, variables, img: jax.Array,
                        ori_hw: Tuple[int, int]) -> jax.Array:

@@ -81,7 +81,16 @@ def _morph(img: jax.Array, offsets, iters: int, is_dilate: bool) -> jax.Array:
 def _use_pallas_morph(mask: jax.Array) -> bool:
     """TPU fast path guard: 2-D masks big enough that the VMEM kernel's
     dispatch beats XLA's shifted-max chain, small enough to sit whole in
-    VMEM (`ops/pallas/morph.py`)."""
+    VMEM (`ops/pallas/morph.py`).
+
+    The gate reads the PROCESS default backend, not the device the
+    enclosing computation lowers for — code jitted for a non-default
+    backend in a TPU process would still pick the Mosaic path. Fine for
+    this framework (pipelines always run on the default backend), and the
+    CPU suite's bit-exact gate runs the kernel interpreted only; the
+    compiled Mosaic lowering is verified by the @pytest.mark.tpu parity
+    tests in `tests/test_pallas_morph.py` (run on device with
+    VU_TPU_TESTS=1)."""
     return (jax.default_backend() == "tpu" and mask.ndim == 2
             and 128 * 128 <= mask.size and mask.size * 4 <= (6 << 20))
 

@@ -24,6 +24,25 @@ from ..utils.fileio import save_img
 from .common import (artifact_path, exist_foreground_np, read_frames,
                      remove_invalid_objects_cfg)
 
+# Config keys in the `stm` section consumed only by the fused pipeline
+# (`pipeline/fused_bg.py`); STMAgent's constructor (the reference surface,
+# `unscreen/stm/agent.py:20-56`) does not accept them, so the modular
+# drivers pop them before splatting (ADVICE round-4 high).
+FUSED_ONLY_STM_KEYS = ("fused_bank_capacity", "balloon_ratio")
+
+
+def build_bg_agents(cfg: dict):
+    """Construct the modular bg-mode agent set from a config dict —
+    shared by `pipeline/bg.py` and `pipeline/bg_offline.py` so the
+    shipped `configs/bg.json` (which carries fused-only stm keys)
+    drives both without TypeError."""
+    seg_cfg = dict(cfg["binseg"])
+    seg_cfg.setdefault("type", "human")  # reference bg.py uses HumanSegAgent
+    stm_kw = {k: v for k, v in cfg["stm"].items()
+              if k not in FUSED_ONLY_STM_KEYS}
+    return (build_seg_agent(seg_cfg), STMAgent(**stm_kw),
+            TrimapAgent(**cfg["trimap"]), VMattingAgent(**cfg["vmatting"]))
+
 
 def _per_frame_background(frame: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     """bg = (1-a)*frame, then regionfill each BGR channel behind the
@@ -48,12 +67,7 @@ def run(cfg: dict, frames=None, save: bool = True) -> dict:
     numframes = len(frame_list)
     print(f"{numframes} frames. Reading Data Done! {time.time() - st:.2f}s")
 
-    seg_cfg = dict(cfg["binseg"])
-    seg_cfg.setdefault("type", "human")  # reference bg.py uses HumanSegAgent
-    segagent = build_seg_agent(seg_cfg)
-    stmagent = STMAgent(**cfg["stm"])
-    trimapagent = TrimapAgent(**cfg["trimap"])
-    vmatagent = VMattingAgent(**cfg["vmatting"])
+    segagent, stmagent, trimapagent, vmatagent = build_bg_agents(cfg)
     print(f"Agent built in {time.time() - st:.2f}s")
 
     tracking_flag = False

@@ -24,14 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..agents import STMAgent, TrimapAgent, VMattingAgent
-from ..agents.binseg import build_seg_agent
 from ..ops import color as colorops
 from ..ops import morphology as morph
 from ..ops.compositing import get_fg
 from ..ops.regionfill import regionfill
 from ..utils.fileio import parallel_read_img, save_img, save_video
-from .bg import _per_frame_background
+from .bg import _per_frame_background, build_bg_agents
 from .common import (artifact_path, exist_foreground_np, read_frames,
                      remove_invalid_objects_cfg)
 
@@ -43,12 +41,7 @@ def _load_artifacts(dst_dir: str, kind: str):
 
 def _stage1(cfg, frame_list, dst_dir, save):
     """Per-frame seg + matting + bg (`bg_offline.py:51-97`)."""
-    seg_cfg = dict(cfg["binseg"])
-    seg_cfg.setdefault("type", "human")
-    segagent = build_seg_agent(seg_cfg)
-    stmagent = STMAgent(**cfg["stm"])
-    trimapagent = TrimapAgent(**cfg["trimap"])
-    vmatagent = VMattingAgent(**cfg["vmatting"])
+    segagent, stmagent, trimapagent, vmatagent = build_bg_agents(cfg)
 
     h, w, _ = frame_list[0].shape
     tracking_flag = False
