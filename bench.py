@@ -105,8 +105,24 @@ def measure_link(mb=4.0, repeats=3):
     return mb / med(h2d_t), mb / med(d2h_t)
 
 
+def _flops_per_frame(step_fn, carry, chunk_dev, frames_per_call):
+    """XLA-counted FLOPs per frame of the compiled fused step, via
+    `lower().compile().cost_analysis()` (VERDICT r4 item 4). The count
+    is XLA's model-level estimate (dtype-agnostic op count, convs as
+    2*MACs), the right numerator for an MFU figure; returns None where
+    the backend offers no analysis."""
+    try:
+        compiled = step_fn.lower(carry, chunk_dev).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) / frames_per_call
+    except Exception:
+        return None
+
+
 def bench_pipeline(pipe, frames, chunk, segments, repeats):
-    """(wall_fps, device_fps) for a fused pipeline instance."""
+    """(wall_fps, device_fps, flops_per_frame) for a fused pipeline."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -149,6 +165,7 @@ def bench_pipeline(pipe, frames, chunk, segments, repeats):
         carry = pipe.init_carry()
         step_fn = pipe.process_chunk
         frames_per_call = chunk
+    flops = _flops_per_frame(step_fn, carry, chunk_dev, frames_per_call)
     carry, out = step_fn(carry, chunk_dev)  # warm
     jax.block_until_ready(out)
     dev_times = []
@@ -158,7 +175,7 @@ def bench_pipeline(pipe, frames, chunk, segments, repeats):
         jax.block_until_ready(out)
         dev_times.append(time.time() - start)
     device_fps = frames_per_call / sorted(dev_times)[len(dev_times) // 2]
-    return fps, device_fps
+    return fps, device_fps, flops
 
 
 def main():
@@ -187,6 +204,9 @@ def main():
                              "frame reseed a 2-frame segment would pay")
     parser.add_argument("--cpu", action="store_true",
                         help="run on host CPU (baseline measurement)")
+    parser.add_argument("--peak_tflops", type=float, default=197.0,
+                        help="accelerator peak dense TFLOP/s for the MFU "
+                             "figure (default: v5e bf16 197)")
     args = parser.parse_args()
 
     import jax
@@ -215,11 +235,16 @@ def main():
         pipe = FusedGreenPipeline(cfg, (args.height, args.width),
                                   work_long_side=args.work_long_side,
                                   wire=args.wire)
-        fps, device_fps = bench_pipeline(pipe, frames, args.chunk,
-                                         args.segments, args.repeats)
+        fps, device_fps, flops = bench_pipeline(pipe, frames, args.chunk,
+                                                args.segments, args.repeats)
         record["value"] = round(fps, 3)
         record["vs_baseline"] = round(fps / CPU_BASELINE_FPS, 3)
         record["device_fps"] = round(device_fps, 3)
+        if flops:
+            tflops = flops * device_fps / 1e12
+            record["gflops_per_frame"] = round(flops / 1e9, 2)
+            record["device_tflops"] = round(tflops, 2)
+            record["mfu_pct"] = round(100.0 * tflops / args.peak_tflops, 2)
 
     if args.mode in ("bg", "both"):
         bg_cfg = load_config("configs/bg.json")
@@ -229,11 +254,17 @@ def main():
         bg_pipe = FusedBgPipeline(bg_cfg, (args.height, args.width),
                                   work_long_side=args.work_long_side,
                                   wire=args.wire)
-        bg_fps, bg_device_fps = bench_pipeline(
+        bg_fps, bg_device_fps, bg_flops = bench_pipeline(
             bg_pipe, bg_frames, args.chunk, args.segments,
             max(args.repeats - 2, 3))
         record["bg_fps"] = round(bg_fps, 3)
         record["bg_device_fps"] = round(bg_device_fps, 3)
+        if bg_flops:
+            bg_tflops = bg_flops * bg_device_fps / 1e12
+            record["bg_gflops_per_frame"] = round(bg_flops / 1e9, 2)
+            record["bg_device_tflops"] = round(bg_tflops, 2)
+            record["bg_mfu_pct"] = round(
+                100.0 * bg_tflops / args.peak_tflops, 2)
         if args.mode == "bg":
             record["metric"] = "bg_1080p_fps_per_chip"
             record["value"] = round(bg_fps, 3)

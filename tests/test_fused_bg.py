@@ -62,11 +62,19 @@ def test_fused_bg_host_fetch_matches_device():
 def test_bg_segment_batched_matches_sequential():
     """`run_segmented` for bg mode: segment 0 must follow the exact carry
     evolution of the sequential path (the batched step hoists the seed
-    segmenter behind an any(need_seed) cond — semantics must not drift)."""
+    segmenter behind an any(need_seed) cond — semantics must not drift).
+
+    Run with pass1_downscale=1: the coarse pass-1's down/upsample makes
+    vmapped-vs-plain bilinear resize ulps visible through the hole/
+    ensemble binarizations (sparse threshold flips, measured 0.25% of
+    pixels), which would mask a real hoisting bug behind a loose bound.
+    At full-res pass 1 the paths agree to max diff 1, so the strict gate
+    stays strict; the production coarse config gets a separate sanity
+    bound below."""
     frames, _ = make_clip(n=4)
     h, w = frames[0].shape[:2]
     pipe = FusedBgPipeline(BG_TEST_CFG, (h, w), work_long_side=128,
-                           use_stm_tracking=False)
+                           use_stm_tracking=False, pass1_downscale=1)
     a_seq, s_seq, _, _ = pipe.run(frames, chunk_size=2)
     a_seg, s_seg, fgs, bgs = pipe.run_segmented(frames, n_segments=2,
                                                 chunk_size=2)
@@ -75,3 +83,14 @@ def test_bg_segment_batched_matches_sequential():
     assert diff.max() <= 4, diff.max()
     assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
     np.testing.assert_array_equal(s_seg[0], s_seq[0])
+
+    # production config (coarse pass 1): sparse binarization flips are
+    # expected; gross divergence is not
+    pipe2 = FusedBgPipeline(BG_TEST_CFG, (h, w), work_long_side=128,
+                            use_stm_tracking=False)
+    a_seq2, _, _, _ = pipe2.run(frames, chunk_size=2)
+    a_seg2, _, _, _ = pipe2.run_segmented(frames, n_segments=2,
+                                          chunk_size=2)
+    d2 = np.abs(a_seg2[:2].astype(np.int16) - a_seq2[:2].astype(np.int16))
+    assert (d2 > 8).mean() < 5e-3, (d2 > 8).mean()
+    assert d2.mean() < 1.0, d2.mean()

@@ -184,7 +184,11 @@ def _stage3(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir, save):
 
 def _chunked_scan(process_chunk, init_carry, arrays, chunk_size=4):
     """Drive a compiled per-frame scan over host arrays in fixed-shape
-    chunks (tail padded), returning the stacked packed outputs."""
+    chunks (tail padded), returning (final_carry, stacked packed
+    outputs). The tail padding replays the last frame, so the returned
+    carry reflects it — harmless for the EMA/warm-start state it feeds
+    (idempotent on a repeated frame) and never used for per-frame
+    artifacts."""
     n = arrays[0].shape[0]
     carry = init_carry
     outs = []
@@ -199,14 +203,18 @@ def _chunked_scan(process_chunk, init_carry, arrays, chunk_size=4):
             chunk.append(jnp.asarray(part))
         carry, packed = process_chunk(carry, *chunk)
         outs.append(np.asarray(packed)[:cn])
-    return np.concatenate(outs)
+    return carry, np.concatenate(outs)
 
 
 def _stage1_fused(cfg, frame_list, dst_dir, save, work_long_side,
                   chunk_size=4, use_stm_tracking=True):
     """Stage 1 through `FusedBgPipeline.process_chunk_stage1` — one
     compiled scan per chunk instead of the per-stage host round-trips
-    (`bg_offline.py:51-97`), identical artifact contract at work res."""
+    (`bg_offline.py:51-97`), identical artifact contract at work res
+    plus the always-bg EMA artifact pair (`ema_bg.png`, `ema_seen.png`:
+    pixels actually observed as background during stage 1 — PNG so the
+    seen>0 gate survives the store losslessly). Stage 3 prefers the EMA
+    over the stage-2 temporal mean where it has observations."""
     from .fused_bg import FusedBgPipeline
 
     h, w, _ = frame_list[0].shape
@@ -217,8 +225,11 @@ def _stage1_fused(cfg, frame_list, dst_dir, save, work_long_side,
         cv2.resize(np.asarray(f, np.uint8), wh)
         if f.shape[:2] != pipe.work_hw else np.asarray(f, np.uint8)
         for f in frame_list])
-    packed = _chunked_scan(pipe.process_chunk_stage1, pipe.init_carry(),
-                           [frames_w], chunk_size)
+    carry, packed = _chunked_scan(pipe.process_chunk_stage1,
+                                  pipe.init_carry(), [frames_w], chunk_size)
+    ema_bg = np.asarray(carry.bg_model).clip(0, 255).astype(np.uint8)
+    ema_seen = (np.asarray(carry.bg_seen) > 0).astype(np.uint8) * 255
+    ema = (ema_bg, ema_seen)
     mask_list, bg_list = [], []
     for fid in range(packed.shape[0]):
         segmask = packed[fid, ..., 0]
@@ -228,15 +239,27 @@ def _stage1_fused(cfg, frame_list, dst_dir, save, work_long_side,
         if save:
             save_img(artifact_path(dst_dir, "segmask", fid), segmask)
             save_img(artifact_path(dst_dir, "bg", fid), bgimg)
-    return mask_list, bg_list, pipe
+    if save:
+        save_img(osp.join(dst_dir, "ema_bg.png"), ema_bg)
+        save_img(osp.join(dst_dir, "ema_seen.png"), ema_seen)
+    return mask_list, bg_list, pipe, ema
 
 
 def _stage3_fused(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir,
                   save, work_long_side, pipe=None, chunk_size=4,
-                  use_stm_tracking=True):
+                  use_stm_tracking=True, ema=None):
     """Stage 3 through `FusedBgPipeline.process_chunk_stage3`
     (`bg_offline.py:133-177`): host does only the beta-fusion of
-    per-frame and global bg; diff mask + matting + fg run in the scan."""
+    per-frame and global bg; diff mask + matting + fg run in the scan.
+
+    `ema`: optional (ema_bg uint8 HxWx3, ema_seen uint8 HxW) pair from
+    stage 1. Where a pixel was ever SEEN as background, the EMA replaces
+    the stage-2 temporal mean in the beta-fusion: the mean counts
+    segmask-negative frames, so a persistent seed hallucination (the
+    occluder pillar) starves it into the inpainted hole, while the EMA
+    needs a single clean observation and is never overwritten by
+    hallucinated frames — the same evidence that fixed streaming bg
+    (VERDICT r4 item 1; reference fusion `bg_offline.py:150-151`)."""
     from .fused_bg import FusedBgPipeline
 
     h, w, _ = frame_list[0].shape
@@ -252,15 +275,20 @@ def _stage3_fused(cfg, frame_list, mask_list, bg_list, bg_always, dst_dir,
 
     frames_w = np.stack([to_work(f) for f in frame_list])
     beta = float(cfg["bg_mask"]["fusion_weight"])
-    bg_always_w = to_work(bg_always).astype(np.float32)
+    global_bg = to_work(bg_always).astype(np.float32)
+    if ema is not None:
+        ema_bg, ema_seen = ema
+        seen = (to_work(ema_seen) > 127)[..., None]
+        global_bg = np.where(seen, to_work(ema_bg).astype(np.float32),
+                             global_bg)
     bgs_fused = np.stack([
         (to_work(b).astype(np.float32) * beta
-         + (1.0 - beta) * bg_always_w).astype(np.uint8)
+         + (1.0 - beta) * global_bg).astype(np.uint8)
         for b in bg_list])
     segmasks = np.stack([
         cv2.cvtColor(to_work(m), cv2.COLOR_BGR2GRAY) for m in mask_list])
-    packed = _chunked_scan(pipe.process_chunk_stage3, pipe.init_carry(),
-                           [frames_w, bgs_fused, segmasks], chunk_size)
+    _, packed = _chunked_scan(pipe.process_chunk_stage3, pipe.init_carry(),
+                              [frames_w, bgs_fused, segmasks], chunk_size)
     alphas = []
     for fid in range(packed.shape[0]):
         alpha = packed[fid, ..., 0]
@@ -289,11 +317,11 @@ def run(cfg: dict, frames=None, save: bool = True,
 
     frame_list = frames if frames is not None else read_frames(cfg)
     mask_list, bg_list, bg_always, alphas = [], [], None, []
-    pipe = None
+    pipe, ema = None, None
 
     if 1 in stages:
         if fused:
-            mask_list, bg_list, pipe = _stage1_fused(
+            mask_list, bg_list, pipe, ema = _stage1_fused(
                 cfg, frame_list, dst_dir, save, work_long_side, chunk_size,
                 use_stm_tracking=use_stm_tracking)
         else:
@@ -309,11 +337,18 @@ def run(cfg: dict, frames=None, save: bool = True,
             bg_list = _load_artifacts(dst_dir, "bg")
         if bg_always is None:
             bg_always = cv2.imread(bg_always_path)
+        if ema is None:  # artifact-store resume of the stage-1 EMA pair
+            ema_bg = cv2.imread(osp.join(dst_dir, "ema_bg.png"))
+            ema_seen = cv2.imread(osp.join(dst_dir, "ema_seen.png"),
+                                  cv2.IMREAD_GRAYSCALE)
+            if ema_bg is not None and ema_seen is not None:
+                ema = (ema_bg, ema_seen)
         if fused:
             alphas = _stage3_fused(cfg, frame_list, mask_list, bg_list,
                                    bg_always, dst_dir, save,
                                    work_long_side, pipe, chunk_size,
-                                   use_stm_tracking=use_stm_tracking)
+                                   use_stm_tracking=use_stm_tracking,
+                                   ema=ema)
         else:
             alphas = _stage3(cfg, frame_list, mask_list, bg_list, bg_always,
                              dst_dir, save)
