@@ -93,3 +93,30 @@ def test_segment_batched_matches_sequential():
     diff = np.abs(a_seg[:3].astype(np.int16) - a_seq[:3].astype(np.int16))
     assert diff.max() <= 4, diff.max()
     assert (diff > 1).mean() < 1e-3, (diff > 1).mean()
+
+
+def test_fused_green_packed_wire_bit_exact():
+    """The bit-packed d2h alpha wire (VERDICT r4 item 5) must reproduce
+    the unpacked host-fetch artifacts exactly — alphas bit-identical,
+    fg/bg identical since they are reconstructed from the same planes.
+    Also runs the segmented driver so the per-segment fallback indexing
+    is covered."""
+    frames, _ = make_clip(n=6)
+    h, w = frames[0].shape[:2]
+    outs = {}
+    for pack in (False, True):
+        pipe = FusedGreenPipeline(TEST_CFG, (h, w), work_long_side=128,
+                                  fetch_fg="host", pack_d2h=pack)
+        assert pipe.pack_d2h is pack
+        outs[pack] = pipe.run(frames, chunk_size=3)
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, b)
+
+    seg_outs = {}
+    for pack in (False, True):
+        pipe = FusedGreenPipeline(TEST_CFG, (h, w), work_long_side=128,
+                                  fetch_fg="host", pack_d2h=pack)
+        seg_outs[pack] = pipe.run_segmented(frames, n_segments=2,
+                                            chunk_size=2)
+    for a, b in zip(seg_outs[False], seg_outs[True]):
+        np.testing.assert_array_equal(a, b)

@@ -65,7 +65,7 @@ class FusedBgPipeline:
                  matting_dtype=jnp.bfloat16, stm_dtype=jnp.bfloat16,
                  seg_dtype=jnp.bfloat16, wire: str = "bgr",
                  fetch: str = "auto", bg_downscale: int = 2,
-                 pass1_downscale: int = 2):
+                 pass1_downscale: int = 2, pack_d2h="auto"):
         """`fetch` — what crosses the device->host link per frame:
           - "device": all four artifacts (alpha + segmask + fg + bg,
             8 uint8 channels/px).
@@ -81,6 +81,13 @@ class FusedBgPipeline:
         if fetch == "auto":
             fetch = "host" if native_runtime.available() else "device"
         self.fetch = fetch
+        # bit-packed d2h wire for the alpha+segmask planes (stacked into
+        # one (2h, w) plane, `ops/wirepack.py`): 2 B/px -> ~0.56 B/px,
+        # bit-exact with a device-resident full-plane overflow fallback.
+        # "auto" enables it in host-fetch mode (same as FusedGreen).
+        if pack_d2h == "auto":
+            pack_d2h = fetch == "host"
+        self.pack_d2h = bool(pack_d2h) and fetch == "host"
         self.bg_downscale = int(bg_downscale)
         self.cfg = cfg
         self.wire = wire  # see FusedGreenPipeline: I420 host->HBM format
@@ -388,7 +395,8 @@ class FusedBgPipeline:
         segmask, bank = self._segment_and_bank(carry, frame, norm)
         return self._post_seg(carry, frame, norm, segmask, bank)
 
-    def _step_batched(self, carries: BgCarry, frames_b: jax.Array):
+    def _step_batched(self, carries: BgCarry, frames_b: jax.Array,
+                      model_axis=None):
         """Per-frame step over S stacked segments. Like
         `FusedGreenPipeline._step_batched`: a plain vmap would run BOTH
         `_segment` branches (STM tracking AND the SCHP/DeepLab seed) for
@@ -428,7 +436,8 @@ class FusedBgPipeline:
             banks = (carries.bank_k, carries.bank_v, carries.bank_n)
 
         def seed_all(fr):
-            return jax.vmap(lambda f: seed_mask(self.seg, f))(fr)
+            return jax.vmap(
+                lambda f: seed_mask(self.seg, f, model_axis))(fr)
 
         seeds = jax.lax.cond(
             need_seed.any(), seed_all,
@@ -496,12 +505,19 @@ class FusedBgPipeline:
         else:
             # wire discipline: alpha + segmask full-res, regionfilled bg
             # at 1/ds res; fg/bg reconstructed host-side
-            packed = jnp.concatenate(
-                [alpha[..., None], segmask[..., None]],
-                axis=-1).astype(jnp.uint8)
             ds = self.bg_downscale
             bg_small = jnp.clip(resize(bgimg, (h // ds, w // ds)),
                                 0.0, 255.0).astype(jnp.uint8)
+            if self.pack_d2h:
+                from ..ops.wirepack import pack_plane
+                both = jnp.concatenate(
+                    [jnp.clip(alpha, 0.0, 255.0),
+                     jnp.clip(segmask, 0.0, 255.0)],
+                    axis=0).astype(jnp.uint8)       # (2h, w)
+                return new_carry, (pack_plane(both), bg_small, both)
+            packed = jnp.concatenate(
+                [alpha[..., None], segmask[..., None]],
+                axis=-1).astype(jnp.uint8)
         return new_carry, (packed, bg_small)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -631,10 +647,8 @@ class FusedBgPipeline:
             from ..ops.color import yuv420_to_bgr
             frames = jax.vmap(jax.vmap(yuv420_to_bgr))(frames)
         xs = jnp.swapaxes(frames, 0, 1)          # (N, S, ...)
-        carries, (packed, bg_small) = jax.lax.scan(
-            self._step_batched, carries, xs)
-        return carries, (jnp.swapaxes(packed, 0, 1),
-                         jnp.swapaxes(bg_small, 0, 1))
+        carries, ys = jax.lax.scan(self._step_batched, carries, xs)
+        return carries, tuple(jnp.swapaxes(y, 0, 1) for y in ys)
 
     # -- multi-chip: segments of one clip in parallel over the data axis ----
     def process_segments(self, mesh, segments: jax.Array):
@@ -659,18 +673,24 @@ class FusedBgPipeline:
                 f"S={segments.shape[0]} segments not divisible by the "
                 f"mesh data axis ({n_data})")
 
+        # SegAgent seeds shard their TTA crop batch over the model axis
+        # (VERDICT r4 item 6); SCHP/chroma seeds accept-and-ignore it
+        model_axis = (("model", mesh.shape["model"])
+                      if mesh.shape.get("model", 1) > 1 else None)
+
         def one_segment(seg):
             # seg: (S/data, L, H, W, 3) — this device's segment block
             carries = self.init_carries(seg.shape[0])
             xs = jnp.swapaxes(seg, 0, 1)          # (L, S_local, ...)
-            _, (packed, bg_small) = jax.lax.scan(self._step_batched,
-                                                 carries, xs)
-            return (jnp.swapaxes(packed, 0, 1),
-                    jnp.swapaxes(bg_small, 0, 1))
+            _, ys = jax.lax.scan(
+                lambda c, x: self._step_batched(c, x, model_axis),
+                carries, xs)
+            return tuple(jnp.swapaxes(y, 0, 1) for y in ys)
 
+        n_outs = 3 if self.pack_d2h else 2  # pack mode adds the fallback
         fn = shard_map(one_segment, mesh=mesh,
                        in_specs=P("data"),
-                       out_specs=(P("data"), P("data")),
+                       out_specs=tuple([P("data")] * n_outs),
                        check_vma=False)
         seg_sharded = jax.device_put(
             segments, NamedSharding(mesh, P("data")))
@@ -690,6 +710,23 @@ class FusedBgPipeline:
                                  cv2.COLOR_BGR2YUV_I420) for f in arr])
             return arr
         return preprocess
+
+    def _fetch_packed(self, p: np.ndarray, outs, s=None) -> np.ndarray:
+        """Fetched payload -> (N, h, w, C) uint8 planes. In pack mode
+        `p` is (N, P) packed vectors of the stacked (2h, w)
+        alpha+segmask plane; `outs[2]` holds the device-resident full
+        planes, fetched per frame only on band-budget overflow. `s`
+        indexes the segment axis in segmented runs."""
+        if not self.pack_d2h:
+            return p
+        from ..ops.wirepack import unpack_planes
+        full = outs[2]
+
+        def fallback(i):
+            return full[i] if s is None else full[s, i]
+        h, w = self.work_hw
+        both = unpack_planes(p, 2 * h, w, fallback=fallback)
+        return np.stack([both[:, :h], both[:, h:]], axis=-1)
 
     def _assemble_outputs(self, frames, packed, bg_small):
         """Artifacts from the d2h payload. Host-fetch mode reconstructs:
@@ -761,19 +798,19 @@ class FusedBgPipeline:
                                (chunk_size - n,) + (1,) * (chunk.ndim - 1))
                 chunk = jnp.concatenate([chunk, pad], axis=0)
             with timer.stage("dispatch"):
-                carry, (packed, bg_small) = self.process_chunk(carry,
-                                                               chunk)
+                carry, chunk_outs = self.process_chunk(carry, chunk)
                 if timer.block:
-                    jax.block_until_ready((packed, bg_small))
-            for buf in (packed, bg_small):
+                    jax.block_until_ready(chunk_outs)
+            for buf in chunk_outs[:2]:  # never auto-fetch the fallback
                 buf.copy_to_host_async()
-            outs.append((packed, bg_small))
+            outs.append(chunk_outs)
             lengths.append(n)
         with timer.stage("fetch"):
             packed = np.concatenate(
-                [np.asarray(p)[:n] for (p, _), n in zip(outs, lengths)])
+                [self._fetch_packed(np.asarray(o[0])[:n], o)
+                 for o, n in zip(outs, lengths)])
             bg_small = np.concatenate(
-                [np.asarray(b)[:n] for (_, b), n in zip(outs, lengths)])
+                [np.asarray(o[1])[:n] for o, n in zip(outs, lengths)])
         with timer.stage("reconstruct"):
             return self._assemble_outputs(frames, packed, bg_small)
 
@@ -807,23 +844,24 @@ class FusedBgPipeline:
         device_outs, lengths = [], []
         for chunk, cn in _prefetch_chunks(build_chunk, specs):
             with timer.stage("dispatch"):
-                carries, (packed, bg_small) = self.process_chunk_segments(
+                carries, chunk_outs = self.process_chunk_segments(
                     carries, chunk)
                 if timer.block:
-                    jax.block_until_ready((packed, bg_small))
-            for buf in (packed, bg_small):
+                    jax.block_until_ready(chunk_outs)
+            for buf in chunk_outs[:2]:  # never auto-fetch the fallback
                 buf.copy_to_host_async()
-            device_outs.append((packed, bg_small))
+            device_outs.append(chunk_outs)
             lengths.append(cn)
 
         with timer.stage("fetch"):
             seg_p = [[] for _ in range(n_segments)]
             seg_b = [[] for _ in range(n_segments)]
-            for (packed, bg_small), cn in zip(device_outs, lengths):
-                p = np.asarray(packed)[:, :cn]
-                b = np.asarray(bg_small)[:, :cn]
+            for chunk_outs, cn in zip(device_outs, lengths):
+                p = np.asarray(chunk_outs[0])[:, :cn]
+                b = np.asarray(chunk_outs[1])[:, :cn]
                 for s in range(n_segments):
-                    seg_p[s].append(p[s])
+                    seg_p[s].append(
+                        self._fetch_packed(p[s], chunk_outs, s))
                     seg_b[s].append(b[s])
             packed = np.concatenate(
                 [np.concatenate(sp) for sp in seg_p])[:n]
