@@ -80,3 +80,27 @@ def test_indivisible_segments_raise():
     segs = jnp.asarray(np.stack(frames).reshape(3, 2, h, w, 3))
     with pytest.raises(ValueError, match="not divisible"):
         pipe.process_segments(mesh, segs)
+
+
+def test_model_axis_tta_matches_sequential():
+    """VERDICT r4 item 6: with a DeepLab seed, `process_segments` shards
+    the TTA crop batch over the MODEL axis (`_tta_scores_sharded` psum
+    ensemble). The 2-axis result must match the single-device sequential
+    scan (float-summation-order tolerance via assert_artifacts_close)."""
+    frames, _ = make_clip(n=8)
+    h, w = frames[0].shape[:2]
+    cfg = dict(TEST_CFG)
+    cfg["binseg"] = {"type": "deeplab",
+                     "model_path": "weights/deeplab_binseg.msgpack",
+                     "input_long_side": 128, "crop_h": 96, "crop_w": 96,
+                     "stride_ratio": 0.5, "flip": True}
+    pipe = FusedGreenPipeline(cfg, (h, w), work_long_side=128,
+                              fetch_fg="device")
+    mesh = make_mesh(8)  # (data=4, model=2) -> model axis active
+    assert mesh.shape["model"] == 2
+    segs = jnp.asarray(np.stack(frames).reshape(4, 2, h, w, 3))
+    packed_par, bg_par = pipe.process_segments(mesh, segs)
+    for s in range(4):
+        _, (packed_seq, bg_seq) = pipe.process_chunk(
+            pipe.init_carry(), segs[s])
+        assert_artifacts_close(packed_par[s], packed_seq)
