@@ -66,3 +66,19 @@ def test_make_human_batch_contract():
     assert b["label"].max() < 20 and b["label"].min() >= 0
     bu = make_human_batch(rng, 2, (64, 64), raw_uint8=True)
     assert bu["img"].dtype == np.uint8
+
+
+def test_multishot_clip_has_hard_cut():
+    from video_unscreen_tpu.parallel.data_synth import make_multishot_clip
+    frames, masks, cuts = make_multishot_clip(n_shots=2, frames_per_shot=5)
+    assert len(frames) == 10 and len(masks) == 10 and cuts == [5]
+    # hard cut: consecutive frames across the cut differ much more than
+    # consecutive frames within a shot
+    def d(a, b):
+        return np.abs(a.astype(np.float32) - b.astype(np.float32)).mean()
+    within = d(frames[3], frames[4])
+    across = d(frames[4], frames[5])
+    assert across > 3 * within, (within, across)
+    # masks are binary and non-empty in every frame
+    for m in masks:
+        assert set(np.unique(m)).issubset({0, 255}) and (m > 0).any()

@@ -310,6 +310,49 @@ def make_eval_clip(kind: str = "green", n: int = 12, h: int = 288,
     return frames, gts
 
 
+def make_multishot_clip(n_shots: int = 2, frames_per_shot: int = 8,
+                        h: int = 128, w: int = 128, seed: int = 5):
+    """Multi-shot clip for the STM-propagation + iseg-correction protocol
+    (BASELINE.json config 4: "STM mask propagation with iseg correction
+    on a multi-shot clip"). Each shot is a flat-color subject drifting
+    over its own textured background — the shipped STM weights' training
+    distribution (`parallel/train_stm.py` make_pair_batch) — and a HARD
+    CUT separates shots: new background, new subject color/geometry, new
+    position. Propagation from the first-frame mask cannot survive the
+    cut (nothing matches across it); the protocol's correction step
+    re-seeds there.
+
+    Returns (frames uint8 BGR, gt_masks uint8 {0,255}, cut_frames) with
+    `cut_frames` the indices where a new shot begins (first shot's 0 is
+    not included)."""
+    frames, masks, cuts = [], [], []
+    for s in range(n_shots):
+        rng = np.random.RandomState(seed + 37 * s)
+        small = rng.rand(16, 16, 3).astype(np.float32)
+        bg = cv2.resize(small, (w, h),
+                        interpolation=cv2.INTER_CUBIC).clip(0, 1)
+        fg_color = rng.uniform(0.2, 0.8, 3).astype(np.float32)
+        cx = int(rng.uniform(0.25, 0.75) * w)
+        cy = int(rng.uniform(0.35, 0.65) * h)
+        ax = int(rng.uniform(0.12, 0.2) * w)
+        ay = int(rng.uniform(0.18, 0.28) * h)
+        ang = rng.uniform(0, 180)
+        vx, vy = rng.uniform(1.5, 3.5), rng.uniform(0.5, 2.0)
+        base = np.zeros((h, w), np.float32)
+        cv2.ellipse(base, (cx, cy), (ax, ay), ang, 0, 360, 1.0, -1)
+        if s > 0:
+            cuts.append(len(frames))
+        for t in range(frames_per_shot):
+            m = np.float32([[1, 0, vx * t], [0, 1, vy * t]])
+            alpha = cv2.warpAffine(base, m, (w, h))
+            img = (alpha[..., None] * fg_color
+                   + (1 - alpha[..., None]) * bg)
+            img += rng.randn(h, w, 3).astype(np.float32) * 0.02
+            frames.append((img.clip(0, 1) * 255).astype(np.uint8))
+            masks.append((alpha > 0.5).astype(np.uint8) * 255)
+    return frames, masks, cuts
+
+
 def make_batch(rng: np.random.RandomState, batch: int,
                hw: Tuple[int, int] = (128, 128),
                imagenet_norm: bool = True) -> Dict[str, np.ndarray]:
