@@ -105,20 +105,31 @@ def measure_link(mb=4.0, repeats=3):
     return mb / med(h2d_t), mb / med(d2h_t)
 
 
-def _flops_per_frame(step_fn, carry, chunk_dev, frames_per_call):
+def _flops_per_frame(step_fn, pipe, carry, chunk_dev, frames_per_call):
     """XLA-counted FLOPs per frame of the compiled fused step, via
     `lower().compile().cost_analysis()` (VERDICT r4 item 4). The count
     is XLA's model-level estimate (dtype-agnostic op count, convs as
     2*MACs), the right numerator for an MFU figure; returns None where
-    the backend offers no analysis."""
+    the backend offers no analysis.
+
+    `pipe` is passed explicitly: `step_fn` is a jit-wrapped method with
+    self static, and attribute access on the bound method delegates
+    `.lower` to the unbound jit wrapper — so `.lower` must be given
+    `self` again or it raises TypeError (the round-4 bench swallowed
+    exactly that, which is why BENCH_r04 carries no mfu fields)."""
     try:
-        compiled = step_fn.lower(carry, chunk_dev).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"]) / frames_per_call
+        lowered = step_fn.lower(pipe, carry, chunk_dev)
     except Exception:
         return None
+    for stage in (lambda: lowered.compile(), lambda: lowered):
+        try:
+            cost = stage().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost["flops"]) / frames_per_call
+        except Exception:
+            continue
+    return None
 
 
 def bench_pipeline(pipe, frames, chunk, segments, repeats):
@@ -165,7 +176,8 @@ def bench_pipeline(pipe, frames, chunk, segments, repeats):
         carry = pipe.init_carry()
         step_fn = pipe.process_chunk
         frames_per_call = chunk
-    flops = _flops_per_frame(step_fn, carry, chunk_dev, frames_per_call)
+    flops = _flops_per_frame(step_fn, pipe, carry, chunk_dev,
+                             frames_per_call)
     carry, out = step_fn(carry, chunk_dev)  # warm
     jax.block_until_ready(out)
     dev_times = []

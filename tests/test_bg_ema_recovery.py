@@ -28,8 +28,11 @@ def _static_clip(n=6):
 def test_ema_poisoned_with_subject_recovers():
     frames, gts = _static_clip(n=6)
     h, w = frames[0].shape[:2]
+    # pack_d2h off: the test reads the raw (alpha, segmask) plane pair
+    # from ys (the packed wire's bit-plane layout is covered by
+    # tests/test_wirepack.py and the fused_bg host-fetch gate)
     pipe = FusedBgPipeline(BG_TEST_CFG, (h, w), work_long_side=128,
-                           use_stm_tracking=False)
+                           use_stm_tracking=False, pack_d2h=False)
 
     # poison the EMA as if the subject had been missed and absorbed:
     # bg_model IS the frame (subject included), every pixel "seen",

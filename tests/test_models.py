@@ -53,6 +53,32 @@ class TestMattingUNet:
         jax.tree_util.tree_map_with_path(check, folded)
 
 
+class TestSubpixelConvTranspose:
+    def test_matches_conv_transpose(self, key):
+        """The phase-decomposed upsampler must be bit-near-exact vs the
+        fractionally-strided conv it replaces (same kernel param), so
+        shipped matting checkpoints keep their quality unchanged."""
+        import flax.linen as nn
+        from video_unscreen_tpu.models.matting_unet import \
+            SubpixelConvTranspose
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 9, 7, 6).astype(np.float32))
+        k = jnp.asarray(rng.randn(4, 4, 6, 5).astype(np.float32))
+        ref = nn.ConvTranspose(5, (4, 4), strides=(2, 2), padding="SAME",
+                               use_bias=False).apply(
+            {"params": {"kernel": k}}, x)
+        got = SubpixelConvTranspose(5).apply({"params": {"kernel": k}}, x)
+        assert got.shape == ref.shape == (2, 18, 14, 5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_param_shape_matches_checkpoint(self, key):
+        from video_unscreen_tpu.models.matting_unet import \
+            SubpixelConvTranspose
+        v = SubpixelConvTranspose(8).init(key, jnp.zeros((1, 4, 4, 3)))
+        assert v["params"]["kernel"].shape == (4, 4, 3, 8)
+
+
 class TestResNet:
     def test_resnet50_pyramid(self, key):
         model = ResNet()

@@ -26,6 +26,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class SubpixelConvTranspose(nn.Module):
+    """Bit-exact `nn.ConvTranspose(k=(4,4), s=(2,2), padding='SAME')` as
+    four 2x2 phase convs + pixel-shuffle interleave.
+
+    XLA lowers a fractionally-strided conv on TPU as a conv over the
+    lhs-dilated (zero-stuffed) input, paying the full k^2=16-tap cost per
+    output pixel even though only k^2/s^2=4 taps land on real samples.
+    Decomposing by output phase (r, c) in {0,1}^2 — each phase sees a
+    fixed 2x2 slice `kernel[r::2, c::2]` of the 4x4 kernel over a 2x2
+    input window — does the same arithmetic with 4x fewer MACs. The five
+    k4s2 transpose convs are ~half the UNet's FLOPs (VERDICT r4 item 2:
+    the matting UNet is the top line in both mode budgets), so this is a
+    pure-win rewrite: same param name/shape ("kernel", (4,4,Cin,Cout)),
+    so shipped msgpack checkpoints load unchanged, and outputs match
+    `nn.ConvTranspose` to float rounding (gated in
+    tests/test_models.py::TestSubpixelConvTranspose).
+
+    Semantics to preserve: torch ConvTranspose2d(k=4, s=2, p=1), the
+    reference's upsampler (`vmatting/model.py:287,492-515`).
+    """
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, cin,
+                                                       self.features))
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        n, h, w, _ = x.shape
+        phases = []
+        for r in (0, 1):
+            for c in (0, 1):
+                # dilated-coords SAME padding is pad_lo=2: phase taps are
+                # kernel[r::2, c::2]; the 2x2 input window starts at
+                # i-1 (phase 0) / i (phase 1) per dimension.
+                kk = k[r::2, :][:, c::2]
+                pad = ((1 - r, r), (1 - c, c))
+                phases.append(jax.lax.conv_general_dilated(
+                    x, kk, window_strides=(1, 1), padding=pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype))
+        # (n,h,w,4,f) with phase axis ordered (r,c) -> (n,h,2,w,2,f)
+        y = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w,
+                                                  self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class BasicBlockEnc(nn.Module):
     """Encoder residual block (`vmatting/model.py:119-157`)."""
     planes: int
@@ -69,10 +125,10 @@ class BasicBlockDec(nn.Module):
         identity = x
         inplanes = x.shape[-1]
         if self.stride > 1:
-            # torch ConvTranspose2d(k=4, s=2, p=1) == exact 2x upsample
-            out = nn.ConvTranspose(inplanes, (4, 4), strides=(2, 2),
-                                   padding="SAME", use_bias=False,
-                                   dtype=self.dtype)(x)
+            # torch ConvTranspose2d(k=4, s=2, p=1) == exact 2x upsample;
+            # explicit name keeps the pre-rewrite checkpoint param path.
+            out = SubpixelConvTranspose(inplanes, dtype=self.dtype,
+                                        name="ConvTranspose_0")(x)
         else:
             out = nn.Conv(inplanes, (3, 3), padding=1, use_bias=False,
                           dtype=self.dtype)(x)
@@ -182,9 +238,7 @@ class MattingUNet(nn.Module):
         out = self._stage_dec(out, 64, self.layers[2], 2, train) + fea3
         out = self._stage_dec(out, self.midplanes, self.layers[3], 2,
                               train) + fea2
-        out = nn.ConvTranspose(32, (4, 4), strides=(2, 2), padding="SAME",
-                               use_bias=False, dtype=dt,
-                               name="dec_conv1")(out)
+        out = SubpixelConvTranspose(32, dtype=dt, name="dec_conv1")(out)
         out = nn.BatchNorm(use_running_average=nra, dtype=dt,
                            name="dec_bn1")(out)
         out = nn.leaky_relu(out, 0.2) + fea1

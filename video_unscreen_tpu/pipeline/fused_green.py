@@ -202,13 +202,19 @@ class FusedGreenPipeline:
         # default +-`iters` band, and the matting net can only predict
         # INSIDE the band (`vmatting/agent.py:128-131` hard reset). When
         # the mask centroid moved more than `2*iters` px since the last
-        # frame, the band widens to 2x (beyond `4*iters` px: 4x). The
-        # tier index is resolved per STEP outside the vmapped body, so
+        # frame, the band widens to 2x (beyond `4*iters` px: 4x; beyond
+        # `5*iters` px: 8x). The top tier exists for the production
+        # geometry: at work 960 / config iters 5 the protocol mblur clip
+        # moves ~31 px/frame (blur half-ramp ~24 px) while the 4x band
+        # reaches only 20 px — measured green_mblur 0.78 at the 960
+        # operating point vs 0.87 at the test geometry, whose band is
+        # RELATIVELY 2x wider (iters 3 of width 288). The tier index is
+        # resolved per STEP outside the vmapped body, so
         # only the selected morphology width executes (`lax.switch`
         # with an unbatched index stays real control flow under vmap).
         # `trimap.adaptive_band: false` restores the fixed band.
         self.tri_adaptive = bool(tri.get("adaptive_band", True))
-        self.tri_tiers = (1, 2, 4)
+        self.tri_tiers = (1, 2, 4, 8)
 
     def init_carry(self) -> GreenCarry:
         h, w = self.work_hw
@@ -344,8 +350,9 @@ class FusedGreenPipeline:
         cy1, cx1, t1 = centroid(alpha_now)
         disp = jnp.sqrt((cy1 - cy0) ** 2 + (cx1 - cx0) ** 2)
         it = float(self.tri_iters)
-        tier = jnp.where(disp > 4.0 * it, 2,
-                         jnp.where(disp > 2.0 * it, 1, 0))
+        tier = jnp.where(disp > 5.0 * it, 3,
+                         jnp.where(disp > 4.0 * it, 2,
+                                   jnp.where(disp > 2.0 * it, 1, 0)))
         return jnp.where((t0 > 0) & (t1 > 0), tier, 0).astype(jnp.int32)
 
     def _gen_trimap(self, alphaor: jax.Array, frame: jax.Array,
